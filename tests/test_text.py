@@ -1,0 +1,138 @@
+"""Text frontend tests: normalizer rules, token parser, tokenizer, prompt."""
+
+import numpy as np
+
+from miotts_tpu.text import (
+    build_prompt, build_token_code_table, format_speech_tokens,
+    normalize_tts_text, parse_speech_tokens, should_normalize_ja,
+)
+from miotts_tpu.text.tokenizer import (
+    TOKEN_TYPE_CONTROL, TOKEN_TYPE_NORMAL, TOKEN_TYPE_USER_DEFINED, Tokenizer,
+)
+
+
+# -- normalizer (contract: /root/reference/src/text-normalize.cpp) -----------
+
+def test_normalize_english_passthrough():
+    # <10% Japanese chars -> untouched, including spaces
+    s = "Hello,  world! (unchanged)"
+    assert normalize_tts_text(s) == s
+
+
+def test_normalize_ja_gate():
+    assert should_normalize_ja("こんにちは")
+    assert not should_normalize_ja("hello")
+    assert not should_normalize_ja("")
+    # exactly 1 ja char out of 10 total non-ws = 10% -> gate opens
+    assert should_normalize_ja("あ" + "a" * 9)
+    assert not should_normalize_ja("あ" + "a" * 10)
+
+
+def test_normalize_punctuation_and_symbols():
+    assert normalize_tts_text("こんにちは！元気？") == "こんにちは!元気?"
+    assert normalize_tts_text("いくよ〜がんばれ～") == "いくよーがんばれー"
+    assert normalize_tts_text("すき♥まる●さんかく◯しかく〇") == "すき♡まる○さんかく○しかく○"
+
+
+def test_normalize_whitespace_removal():
+    assert normalize_tts_text("こん にちは\tそして[n]終わり　です") == "こんにちはそして終わりです"
+
+
+def test_normalize_ellipsis_collapse():
+    assert normalize_tts_text("ねえ…………すごい") == "ねえ……すごい"
+    assert normalize_tts_text("ねえ……………………すごい") == "ねえ……すごい"
+
+
+def test_normalize_wrapper_strip():
+    assert normalize_tts_text("「こんにちは」") == "こんにちは"
+    assert normalize_tts_text("『こんにちは』") == "こんにちは"
+    assert normalize_tts_text("【こんにちは】") == "こんにちは"
+    # only strips when BOTH ends match
+    assert normalize_tts_text("「こんにちは") == "「こんにちは"
+
+
+def test_normalize_trailing_punct():
+    assert normalize_tts_text("こんにちは。") == "こんにちは"
+    assert normalize_tts_text("こんにちは。、。") == "こんにちは"
+
+
+# -- speech token parser (contract: /root/reference/src/token-parser.cpp) ----
+
+def test_parse_speech_tokens_basic():
+    assert parse_speech_tokens("<|s_0|><|s_42|><|s_12799|>") == [0, 42, 12799]
+
+
+def test_parse_speech_tokens_tolerant():
+    # junk between/around tokens, malformed fragments skipped
+    text = "xx<|s_1|>yy<|s_<|s_2|>zz<|s_3xx<|s_4|>"
+    assert parse_speech_tokens(text) == [1, 2, 4]
+    assert parse_speech_tokens("no tokens here") == []
+
+
+def test_format_roundtrip():
+    codes = [5, 100, 12799]
+    assert parse_speech_tokens(format_speech_tokens(codes)) == codes
+
+
+def test_token_code_table():
+    vocab = ["a", "<|s_0|>", "<|im_end|>", "<|s_7|>", "<|s_x|>"]
+    table = build_token_code_table(vocab)
+    np.testing.assert_array_equal(table, [-1, 0, -1, 7, -1])
+
+
+# -- prompt template (contract: /root/reference/src/test-to-speech.cpp:90-92)
+
+def test_build_prompt():
+    assert build_prompt("やあ") == (
+        "<|startoftext|><|im_start|>user\nやあ<|im_end|>\n<|im_start|>assistant\n"
+    )
+
+
+# -- BPE tokenizer -----------------------------------------------------------
+
+def _toy_tokenizer():
+    """Byte-level BPE vocab: bytes for ascii letters + a few merges."""
+    from miotts_tpu.text.tokenizer import _byte_to_unicode
+    b2u = _byte_to_unicode()
+    byte_tokens = [b2u[b] for b in range(256)]
+    specials = ["<|im_start|>", "<|im_end|>", "<|startoftext|>", "<|s_0|>", "<|s_1|>"]
+    merged = [b2u[ord("h")] + b2u[ord("e")], b2u[ord("l")] + b2u[ord("l")]]
+    tokens = byte_tokens + merged + specials
+    types = ([TOKEN_TYPE_NORMAL] * (256 + len(merged))
+             + [TOKEN_TYPE_CONTROL] * 3 + [TOKEN_TYPE_USER_DEFINED] * 2)
+    merges = [f"{b2u[ord('h')]} {b2u[ord('e')]}", f"{b2u[ord('l')]} {b2u[ord('l')]}"]
+    return Tokenizer(tokens=tokens, token_types=types, merges=merges,
+                     eos_id=tokens.index("<|im_end|>"))
+
+
+def test_bpe_merges_and_decode():
+    tok = _toy_tokenizer()
+    ids = tok.encode("hello", add_special=False)
+    # "he" and "ll" merge; "o" stays a byte token
+    pieces = [tok.tokens[i] for i in ids]
+    assert len(ids) == 3
+    assert tok.decode(ids) == "hello"
+
+
+def test_special_token_matching():
+    tok = _toy_tokenizer()
+    text = "<|im_start|>he<|im_end|>"
+    ids = tok.encode(text, add_special=False)
+    assert ids[0] == tok.token_to_id["<|im_start|>"]
+    assert ids[-1] == tok.token_to_id["<|im_end|>"]
+    assert tok.decode(ids) == text
+
+
+def test_speech_tokens_are_single_ids():
+    tok = _toy_tokenizer()
+    ids = tok.encode("<|s_0|><|s_1|>", add_special=False)
+    assert len(ids) == 2
+    table = tok.speech_code_table()
+    assert table[ids[0]] == 0 and table[ids[1]] == 1
+
+
+def test_utf8_multibyte_roundtrip():
+    tok = _toy_tokenizer()
+    text = "こんにちは"
+    ids = tok.encode(text, add_special=False)
+    assert tok.decode(ids) == text
