@@ -1,0 +1,332 @@
+"""Causal-LM decode engine: the TPU-native replacement for llama.cpp inference.
+
+Covers the surface the reference consumes from llama.cpp
+(`/root/reference/src/test-to-speech.cpp:94-199,430-614`): model load from
+GGUF, prefill (batch decode with logits on the last position), single-token
+decode against a KV cache, and on-device sampling.  Architecture config is
+read from GGUF KVs (`{arch}.block_count` etc.); the llama/qwen2/qwen3 family
+is supported (RMSNorm + SwiGLU + GQA + RoPE, with per-arch toggles for QKV
+bias, QK-norm, and RoPE style).
+
+TPU-first design (SURVEY.md §7.4):
+  * Weights live in HBM as QTensors (planar int8 + group scales) and are
+    dequantized inside the matmul kernel (ops/qmat.py) — never materialized
+    in f32.
+  * Prefill and decode are two jitted functions over static (batch, length)
+    buckets; the reference instead created and destroyed a llama_context per
+    request (`test-to-speech.cpp:108,197`).
+  * The KV cache is a dense [L, 2, B, S_max, H_kv, D] ring buffer passed
+    functionally; positions are masked, so one compiled decode step serves
+    any fill level.
+  * Activations default to bf16 (MXU native); logits and sampling in f32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.quants import is_quantized, to_group_quant
+from ..ops.qmat import QTensor, qdot
+
+
+# Per-arch behavior toggles (llama.cpp build_* graph equivalents).
+_ARCH_TABLE = {
+    "llama": dict(rope_style="norm", qkv_bias=False, qk_norm=False),
+    "qwen2": dict(rope_style="neox", qkv_bias=True, qk_norm=False),
+    "qwen3": dict(rope_style="neox", qkv_bias=False, qk_norm=True),
+    "mio": dict(rope_style="neox", qkv_bias=True, qk_norm=False),
+}
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    arch: str = "qwen2"
+    n_layers: int = 24
+    dim: int = 1024
+    n_heads: int = 16
+    n_kv_heads: int = 16
+    head_dim: int = 64
+    ff_dim: int = 2816
+    n_vocab: int = 151936
+    n_ctx: int = 2048
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    rope_style: str = "neox"        # "neox" (half-split) | "norm" (interleaved)
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    tie_embedding: bool = False
+
+    @classmethod
+    def from_gguf(cls, reader) -> "LLMConfig":
+        arch = str(reader.kv.get("general.architecture", "qwen2"))
+        p = arch + "."
+        g = lambda k, d: int(reader.kv.get(p + k, d))
+        gf = lambda k, d: float(reader.kv.get(p + k, d))
+        dim = g("embedding_length", 1024)
+        n_heads = g("attention.head_count", 16)
+        n_kv = g("attention.head_count_kv", n_heads)
+        head_dim = g("attention.key_length", dim // n_heads)
+        n_vocab = len(reader.kv.get("tokenizer.ggml.tokens", [])) or g("vocab_size", 32000)
+        toggles = _ARCH_TABLE.get(arch, _ARCH_TABLE["qwen2"])
+        tie = not reader.has_tensor("output.weight")
+        return cls(
+            arch=arch,
+            n_layers=g("block_count", 24),
+            dim=dim,
+            n_heads=n_heads,
+            n_kv_heads=n_kv,
+            head_dim=head_dim,
+            ff_dim=g("feed_forward_length", 4 * dim),
+            n_vocab=n_vocab,
+            n_ctx=g("context_length", 2048),
+            rope_theta=gf("rope.freq_base", 10000.0),
+            rms_eps=gf("attention.layer_norm_rms_epsilon", 1e-6),
+            tie_embedding=tie,
+            **toggles,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Weight loading
+# ---------------------------------------------------------------------------
+
+def _load_matrix(reader, name: str, dtype) -> Any:
+    """Load a 2-D weight: quantized formats stay packed as QTensor, float
+    formats become dense arrays."""
+    info = reader.tensors[name]
+    if is_quantized(info.ggml_type):
+        rows, cols = info.shape  # numpy order [out, in]
+        gq = to_group_quant(reader.tensor_raw(name), info.ggml_type, rows, cols)
+        return QTensor.from_group_quant(gq)
+    return jnp.asarray(reader.tensor_f32(name), dtype)
+
+
+def load_llm_params(reader, cfg: LLMConfig | None = None,
+                    dtype=jnp.bfloat16) -> tuple[dict, "LLMConfig"]:
+    """Load LLM weights from GGUF.  llama.cpp tensor naming:
+    token_embd.weight, blk.{i}.{attn_norm,attn_q,attn_k,attn_v,attn_output,
+    attn_q_norm,attn_k_norm,ffn_norm,ffn_gate,ffn_up,ffn_down}.weight,
+    output_norm.weight, output.weight (absent when tied)."""
+    if cfg is None:
+        cfg = LLMConfig.from_gguf(reader)
+
+    def vec(name):
+        return jnp.asarray(reader.tensor_f32(name), jnp.float32)
+
+    params: dict = {
+        # Embedding stays dense (gather); dequantized on host if quantized.
+        "token_embd": jnp.asarray(
+            reader.tensor_f32("token_embd.weight"), dtype),
+        "output_norm": vec("output_norm.weight"),
+    }
+    if reader.has_tensor("output.weight"):
+        params["output"] = _load_matrix(reader, "output.weight", dtype)
+    blocks = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        blk = {
+            "attn_norm": vec(p + "attn_norm.weight"),
+            "wq": _load_matrix(reader, p + "attn_q.weight", dtype),
+            "wk": _load_matrix(reader, p + "attn_k.weight", dtype),
+            "wv": _load_matrix(reader, p + "attn_v.weight", dtype),
+            "wo": _load_matrix(reader, p + "attn_output.weight", dtype),
+            "ffn_norm": vec(p + "ffn_norm.weight"),
+            "w_gate": _load_matrix(reader, p + "ffn_gate.weight", dtype),
+            "w_up": _load_matrix(reader, p + "ffn_up.weight", dtype),
+            "w_down": _load_matrix(reader, p + "ffn_down.weight", dtype),
+        }
+        if cfg.qkv_bias:
+            blk["bq"] = vec(p + "attn_q.bias")
+            blk["bk"] = vec(p + "attn_k.bias")
+            blk["bv"] = vec(p + "attn_v.bias")
+        if cfg.qk_norm:
+            blk["q_norm"] = vec(p + "attn_q_norm.weight")
+            blk["k_norm"] = vec(p + "attn_k_norm.weight")
+        blocks.append(blk)
+    # Stack layer weights for lax.scan (QTensor is a pytree, stacks fine).
+    params["blocks"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs) if isinstance(xs[0], jax.Array) else xs[0],
+        *blocks)
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Model math
+# ---------------------------------------------------------------------------
+
+def _rms_norm(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w.astype(x.dtype)
+
+
+def _rope(x, pos, theta, style):
+    """x: [B, S, H, D]; pos: [B, S].  'neox' rotates (i, i+D/2) pairs,
+    'norm' rotates adjacent (2i, 2i+1) pairs (ggml rope modes)."""
+    d = x.shape[-1]
+    inv_freq = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    ang = pos[..., None].astype(jnp.float32) * inv_freq  # [B, S, d/2]
+    cos = jnp.cos(ang)[:, :, None, :].astype(x.dtype)
+    sin = jnp.sin(ang)[:, :, None, :].astype(x.dtype)
+    if style == "neox":
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    x2 = x.reshape(*x.shape[:-1], d // 2, 2)
+    xe, xo = x2[..., 0], x2[..., 1]
+    return jnp.stack([xe * cos - xo * sin, xe * sin + xo * cos],
+                     axis=-1).reshape(x.shape)
+
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int | None = None,
+                  dtype=jnp.bfloat16) -> dict:
+    """Dense KV cache: k/v [L, B, S, H_kv, D] + fill counts [B]."""
+    S = max_len or cfg.n_ctx
+    shape = (cfg.n_layers, batch, S, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "fill": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def _attend(q, k_cache, v_cache, fill, q_pos):
+    """Causal attention against the cache.
+    q: [B, S_q, H, D]; k/v_cache: [B, S_max, H_kv, D]; fill: [B] number of
+    valid cache entries (AFTER writing the current tokens); q_pos: [B, S_q]
+    absolute positions of the queries."""
+    B, S_q, H, D = q.shape
+    H_kv = k_cache.shape[2]
+    rep = H // H_kv
+    qf = q.astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    qg = qf.reshape(B, S_q, H_kv, rep, D)
+    scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg, kf,
+                        preferred_element_type=jnp.float32) / np.sqrt(D)
+    key_pos = jnp.arange(k_cache.shape[1])
+    # key valid: pos < fill AND pos <= query absolute position (causal)
+    valid = (key_pos[None, None, :] <= q_pos[:, :, None]) & \
+            (key_pos[None, None, :] < fill[:, None, None])
+    scores = jnp.where(valid[:, None, None, :, :].transpose(0, 1, 2, 3, 4),
+                       scores, -1e9)  # [B, g, r, q, k] with mask [B, 1, 1, q, k]
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, vf,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, S_q, H * D)
+
+
+def _block_forward(x, blk, cache_k, cache_v, fill, pos, cfg: LLMConfig):
+    """One transformer block.  x: [B, S, dim]; cache_k/v: [B, S_max, H_kv, D]
+    (this layer's slice); pos: [B, S] absolute positions.  Returns
+    (x, new_cache_k, new_cache_v)."""
+    B, S, _ = x.shape
+    H, H_kv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+    q = qdot(h, blk["wq"])
+    k = qdot(h, blk["wk"])
+    v = qdot(h, blk["wv"])
+    if cfg.qkv_bias:
+        q = q + blk["bq"].astype(q.dtype)
+        k = k + blk["bk"].astype(k.dtype)
+        v = v + blk["bv"].astype(v.dtype)
+    q = q.reshape(B, S, H, D)
+    k = k.reshape(B, S, H_kv, D)
+    v = v.reshape(B, S, H_kv, D)
+    if cfg.qk_norm:
+        q = _rms_norm(q, blk["q_norm"], cfg.rms_eps)
+        k = _rms_norm(k, blk["k_norm"], cfg.rms_eps)
+    q = _rope(q, pos, cfg.rope_theta, cfg.rope_style)
+    k = _rope(k, pos, cfg.rope_theta, cfg.rope_style)
+
+    # Scatter k/v into the cache at their absolute positions.
+    b_idx = jnp.arange(B)[:, None] + jnp.zeros_like(pos)
+    cache_k = cache_k.at[b_idx, pos].set(k.astype(cache_k.dtype))
+    cache_v = cache_v.at[b_idx, pos].set(v.astype(cache_v.dtype))
+    new_fill = jnp.maximum(fill, pos[:, -1] + 1)
+
+    attn = _attend(q, cache_k, cache_v, new_fill, pos)
+    x = x + qdot(attn.astype(x.dtype), blk["wo"])
+
+    h = _rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
+    gate = jax.nn.silu(qdot(h, blk["w_gate"]))
+    up = qdot(h, blk["w_up"])
+    x = x + qdot((gate * up).astype(x.dtype), blk["w_down"])
+    return x, cache_k, cache_v
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def llm_forward(params: dict, tokens: jax.Array, pos: jax.Array,
+                cache: dict, cfg: LLMConfig):
+    """Run the transformer over `tokens` [B, S] at absolute positions `pos`
+    [B, S], updating the cache.  Returns (logits [B, S, V] f32, new_cache).
+
+    Used for both prefill (S = padded prompt bucket) and decode (S = 1).
+    Padding tokens must carry pos pointing at their would-be position; their
+    cache writes are masked out by `fill` accounting at the caller level —
+    see `llm_prefill`."""
+    x = params["token_embd"][tokens]  # [B, S, dim]
+
+    def layer(carry, inputs):
+        x = carry
+        blk, ck, cv = inputs
+        x, ck, cv = _block_forward(x, blk, ck, cv, cache["fill"], pos, cfg)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (params["blocks"], cache["k"], cache["v"]))
+    new_fill = jnp.maximum(cache["fill"], pos[:, -1] + 1)
+
+    x = _rms_norm(x, params["output_norm"], cfg.rms_eps)
+    out_w = params.get("output", None)
+    if out_w is None:
+        logits = jax.lax.dot_general(
+            x, params["token_embd"], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        logits = qdot(x, out_w)
+    return logits.astype(jnp.float32), {"k": new_k, "v": new_v, "fill": new_fill}
+
+
+def llm_prefill(params, tokens, n_real, cache, cfg: LLMConfig):
+    """Prefill a [B, S_bucket] prompt batch; `n_real` [B] gives the true
+    prompt lengths (right-padding).  Returns (last_logits [B, V], cache).
+
+    Padding positions are written to the cache but `fill` only advances to
+    n_real, so they are never attended by later tokens."""
+    B, S = tokens.shape
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    logits, cache = llm_forward(params, tokens, pos, cache, cfg)
+    cache = dict(cache, fill=n_real.astype(jnp.int32))
+    last = jnp.take_along_axis(logits, (n_real - 1)[:, None, None], axis=1)[:, 0]
+    return last, cache
+
+
+def llm_decode_step(params, token, cache, cfg: LLMConfig):
+    """One decode step.  token: [B] i32; positions come from cache fill.
+    Returns (logits [B, V], cache)."""
+    pos = cache["fill"][:, None]  # [B, 1]
+    logits, cache = llm_forward(params, token[:, None], pos, cache, cfg)
+    return logits[:, 0], cache
+
+
+# ---------------------------------------------------------------------------
+# Sampling (`llama_sampler_init_temp` + `_dist`, test-to-speech.cpp:127-130)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def sample_token(logits: jax.Array, temperature: jax.Array,
+                 key: jax.Array) -> jax.Array:
+    """Temperature + categorical sampling on device; temperature <= 0 means
+    greedy.  logits: [B, V] f32 -> [B] i32."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    keys = jax.random.split(key, logits.shape[0])
+    sampled = jax.vmap(lambda k, l: jax.random.categorical(k, l))(keys, scaled)
+    return jnp.where(temperature > 0, sampled.astype(jnp.int32), greedy)

@@ -13,6 +13,7 @@ import numpy as np
 
 from ..gguf import GGUFWriter, GGML_F32, GGML_I32
 from .codec import CodecConfig
+from .llm import LLMConfig
 
 
 def synthetic_codec_config(tiny: bool = True) -> CodecConfig:
@@ -154,5 +155,129 @@ def write_synthetic_codec(path: str, cfg: CodecConfig | None = None,
     w.add_tensor("istft_head.out.weight", rnd(cfg.head_out_dim, d_dec))
     w.add_tensor("istft_head.out.bias", rnd(cfg.head_out_dim))
 
+    w.write()
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Synthetic LLM
+# ---------------------------------------------------------------------------
+
+def make_synthetic_vocab(n_speech: int = 64) -> tuple[list[str], list[int]]:
+    """Byte-level vocab (256 byte tokens) + chat specials + speech tokens.
+
+    Mirrors the MioTTS vocab structure: `<|s_N|>` tokens are user-defined
+    single tokens (SURVEY.md §2.2 tokenizer row)."""
+    from ..text.tokenizer import (
+        TOKEN_TYPE_CONTROL, TOKEN_TYPE_NORMAL, TOKEN_TYPE_USER_DEFINED,
+        _byte_to_unicode,
+    )
+    b2u = _byte_to_unicode()
+    tokens = [b2u[b] for b in range(256)]
+    types = [TOKEN_TYPE_NORMAL] * 256
+    for sp in ("<|startoftext|>", "<|im_start|>", "<|im_end|>"):
+        tokens.append(sp)
+        types.append(TOKEN_TYPE_CONTROL)
+    for i in range(n_speech):
+        tokens.append(f"<|s_{i}|>")
+        types.append(TOKEN_TYPE_USER_DEFINED)
+    return tokens, types
+
+
+def synthetic_llm_config(n_speech: int = 64, tiny: bool = True,
+                         arch: str = "qwen2") -> LLMConfig:
+    from .llm import _ARCH_TABLE
+    n_vocab = 256 + 3 + n_speech
+    toggles = _ARCH_TABLE[arch]
+    if tiny:
+        return LLMConfig(arch=arch, n_layers=2, dim=64, n_heads=4,
+                         n_kv_heads=2, head_dim=16, ff_dim=128,
+                         n_vocab=n_vocab, n_ctx=256, **toggles)
+    return LLMConfig(arch=arch, n_vocab=n_vocab, **toggles)
+
+
+def write_synthetic_llm(path: str, cfg: LLMConfig | None = None,
+                        quant_type: int = GGML_F32, seed: int = 0,
+                        n_speech: int = 64,
+                        weights: dict | None = None) -> LLMConfig:
+    """Write an LLM GGUF (llama.cpp tensor naming + tokenizer KVs).
+
+    `weights`: optional {gguf_name: np.ndarray} overriding random init (used
+    by the HF-parity test to export a torch model's weights)."""
+    if cfg is None:
+        cfg = synthetic_llm_config(n_speech=n_speech)
+    else:
+        n_speech = cfg.n_vocab - 256 - 3
+    rng = np.random.default_rng(seed)
+    tokens, types = make_synthetic_vocab(n_speech)
+    assert len(tokens) == cfg.n_vocab, (len(tokens), cfg.n_vocab)
+
+    def rnd(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    W: dict[str, np.ndarray] = weights or {}
+
+    def get(name, *shape, scale=0.05, ones=False):
+        if name in W:
+            return np.asarray(W[name], np.float32)
+        if ones:
+            return np.ones(shape, np.float32)
+        return rnd(*shape, scale=scale)
+
+    w = GGUFWriter(path)
+    a = cfg.arch
+    w.add_kv("general.architecture", a)
+    w.add_kv(f"{a}.block_count", cfg.n_layers)
+    w.add_kv(f"{a}.embedding_length", cfg.dim)
+    w.add_kv(f"{a}.feed_forward_length", cfg.ff_dim)
+    w.add_kv(f"{a}.attention.head_count", cfg.n_heads)
+    w.add_kv(f"{a}.attention.head_count_kv", cfg.n_kv_heads)
+    w.add_kv(f"{a}.attention.key_length", cfg.head_dim)
+    w.add_kv(f"{a}.attention.layer_norm_rms_epsilon", cfg.rms_eps)
+    w.add_kv(f"{a}.context_length", cfg.n_ctx)
+    w.add_kv(f"{a}.rope.freq_base", cfg.rope_theta)
+    w.add_kv("tokenizer.ggml.model", "gpt2")
+    w.add_kv("tokenizer.ggml.pre", "qwen2")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.token_type", types)
+    w.add_array("tokenizer.ggml.merges", [])
+    w.add_kv("tokenizer.ggml.eos_token_id", tokens.index("<|im_end|>"))
+
+    qd = cfg.head_dim * cfg.n_heads
+    kvd = cfg.head_dim * cfg.n_kv_heads
+
+    def mat(name, out_d, in_d, qtype=quant_type):
+        w.add_tensor(name, get(name, out_d, in_d), qtype)
+
+    # Embeddings stay f32 (gathered, not matmul'ed through qdot).
+    w.add_tensor("token_embd.weight", get("token_embd.weight", cfg.n_vocab, cfg.dim,
+                                          scale=0.2), GGML_F32)
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight",
+                     get(p + "attn_norm.weight", cfg.dim, ones=True), GGML_F32)
+        mat(p + "attn_q.weight", qd, cfg.dim)
+        mat(p + "attn_k.weight", kvd, cfg.dim)
+        mat(p + "attn_v.weight", kvd, cfg.dim)
+        mat(p + "attn_output.weight", cfg.dim, qd)
+        if cfg.qkv_bias:
+            w.add_tensor(p + "attn_q.bias", get(p + "attn_q.bias", qd), GGML_F32)
+            w.add_tensor(p + "attn_k.bias", get(p + "attn_k.bias", kvd), GGML_F32)
+            w.add_tensor(p + "attn_v.bias", get(p + "attn_v.bias", kvd), GGML_F32)
+        if cfg.qk_norm:
+            w.add_tensor(p + "attn_q_norm.weight",
+                         get(p + "attn_q_norm.weight", cfg.head_dim, ones=True), GGML_F32)
+            w.add_tensor(p + "attn_k_norm.weight",
+                         get(p + "attn_k_norm.weight", cfg.head_dim, ones=True), GGML_F32)
+        w.add_tensor(p + "ffn_norm.weight",
+                     get(p + "ffn_norm.weight", cfg.dim, ones=True), GGML_F32)
+        mat(p + "ffn_gate.weight", cfg.ff_dim, cfg.dim)
+        mat(p + "ffn_up.weight", cfg.ff_dim, cfg.dim)
+        mat(p + "ffn_down.weight", cfg.dim, cfg.ff_dim)
+
+    w.add_tensor("output_norm.weight",
+                 get("output_norm.weight", cfg.dim, ones=True), GGML_F32)
+    if not cfg.tie_embedding:
+        mat("output.weight", cfg.n_vocab, cfg.dim)
     w.write()
     return cfg

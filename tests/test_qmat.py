@@ -1,0 +1,61 @@
+"""Quantized matmul tests: QTensor round-trip, qdot vs dense, Pallas
+interpret-mode kernel parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from miotts_tpu.gguf import GGML_Q4_K, GGML_Q6_K, GGML_Q8_0, to_group_quant
+from miotts_tpu.gguf.quants import dequantize, quantize
+from miotts_tpu.ops.qmat import QTensor, _qdot_pallas, _qdot_xla, qdot
+
+
+def _make_qt(gtype, n, k, rng):
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    raw = np.frombuffer(quantize(w, gtype), dtype=np.uint8)
+    gq = to_group_quant(raw, gtype, n, k)
+    ref = dequantize(raw, gtype, n * k).reshape(n, k)
+    return QTensor.from_group_quant(gq), ref
+
+
+@pytest.mark.parametrize("gtype", [GGML_Q8_0, GGML_Q4_K, GGML_Q6_K])
+def test_qtensor_dequant_matches_reference(gtype, rng):
+    qt, ref = _make_qt(gtype, 8, 512, rng)
+    np.testing.assert_allclose(np.asarray(qt.dequant()), ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("gtype", [GGML_Q8_0, GGML_Q4_K, GGML_Q6_K])
+def test_qdot_xla_matches_dense(gtype, rng):
+    qt, ref = _make_qt(gtype, 16, 512, rng)
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.float32)
+    got = np.asarray(qdot(x, qt))
+    want = np.asarray(x) @ ref.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_qdot_batched_leading_dims(rng):
+    qt, ref = _make_qt(GGML_Q8_0, 16, 256, rng)
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)), jnp.float32)
+    got = np.asarray(qdot(x, qt))
+    want = np.asarray(x) @ ref.T
+    assert got.shape == (2, 3, 16)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_qtensor_pytree_roundtrip(rng):
+    qt, _ = _make_qt(GGML_Q4_K, 8, 256, rng)
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert qt2.group == qt.group
+    np.testing.assert_array_equal(np.asarray(qt2.values), np.asarray(qt.values))
+
+
+@pytest.mark.parametrize("gtype", [GGML_Q8_0, GGML_Q6_K, GGML_Q4_K])
+def test_qdot_pallas_interpret_matches_xla(gtype, rng):
+    """Pallas kernel (interpret mode on CPU) must equal the XLA path."""
+    qt, _ = _make_qt(gtype, 256, 512, rng)
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    want = np.asarray(_qdot_xla(x, qt))
+    got = np.asarray(_qdot_pallas(x, qt, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
