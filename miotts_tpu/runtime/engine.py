@@ -1,0 +1,396 @@
+"""TTS synthesis engine: text -> speech tokens -> codec -> PCM.
+
+The TPU-native counterpart of the reference orchestrator
+(`/root/reference/src/test-to-speech.{h,cpp}`), preserving its behavioral
+contract — prompt format, normalization, token->code mapping, decode math,
+peak-norm rule, streaming commit-holdback + crossfade policy, profile
+fields — while replacing its architecture:
+
+  * One persistent engine; models load once into HBM.  (The reference
+    creates/destroys a llama_context per request, `test-to-speech.cpp:108`.)
+  * Prefill and codec lengths are bucketed so every request shape hits a
+    cached XLA executable.
+  * Sampled tokens map to codec codes through a device-side int table
+    (text/tokens.py) — the detokenize round-trip exists only for token-text
+    output and --skip-llm replay.
+  * Streaming keeps the reference's quality-first full-prefix re-decode
+    (`test-to-speech.cpp:526-528`) but the re-decode runs in padded buckets,
+    so the O(T^2) scan reuses one compiled codec executable per bucket.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf import GGUFReader, load_voice_embedding
+from ..models.codec import CodecConfig, codec_decode_spec, load_codec_params
+from ..models.llm import (
+    LLMConfig, init_kv_cache, llm_decode_step, llm_prefill, load_llm_params,
+    sample_token,
+)
+from ..ops.istft import spec_to_audio
+from ..text import build_prompt, normalize_tts_text, parse_speech_tokens
+from ..text.tokenizer import Tokenizer
+from .profile import StreamProfile
+
+# StreamCallback(samples_or_None, sample_rate, is_last) -> keep_going
+StreamCallback = Callable[[Optional[np.ndarray], int, bool], bool]
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, (x + m - 1) // m * m)
+
+
+@dataclass
+class EngineConfig:
+    """Engine-level knobs (reference defaults: `main.cpp:15-16`,
+    `test-to-speech.cpp:364,499-501`)."""
+    model_path: str = ""
+    codec_path: str = ""
+    temperature: float = 0.8
+    max_tokens: int = 700
+    seed: int = 42
+    n_ctx: int = 2048
+    # streaming policy
+    stream_check_interval: int = 20
+    holdback_codes: int = 32
+    min_commit_step_codes: int = 24
+    chunk_samples: int = 4096
+    # bucketing granularity (TPU-specific; compile-cache keys)
+    prompt_bucket: int = 64
+    code_bucket: int = 32
+    llm_dtype: str = "bfloat16"
+
+
+@dataclass
+class Options:
+    """Per-call overrides (negative sentinel = engine default), mirroring
+    `TestToSpeech::Options` (`test-to-speech.h:49-54`)."""
+    temperature: float = -1.0
+    max_tokens: int = -1
+    skip_llm: bool = False
+    apply_peak_normalization: bool = True
+    seed: int = -1
+
+
+class VoiceModel:
+    """Voice embedding holder (`test-to-speech.h:11-24`)."""
+
+    def __init__(self, path: str | None = None, embedding: np.ndarray | None = None):
+        self.path = path or ""
+        self.embedding = None
+        if embedding is not None:
+            self.embedding = np.asarray(embedding, np.float32)
+        elif path:
+            self.embedding = load_voice_embedding(path)
+
+    @property
+    def is_ready(self) -> bool:
+        return self.embedding is not None and self.embedding.size > 0
+
+
+class TTSEngine:
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        self.llm_params = None
+        self.llm_cfg: LLMConfig | None = None
+        self.tokenizer: Tokenizer | None = None
+        self.code_table: np.ndarray | None = None
+        self._speech_table_dev = None
+
+        if config.model_path:
+            with GGUFReader(config.model_path) as r:
+                self.llm_cfg = LLMConfig.from_gguf(r)
+                dtype = jnp.bfloat16 if config.llm_dtype == "bfloat16" else jnp.float32
+                self.llm_params, _ = load_llm_params(r, self.llm_cfg, dtype=dtype)
+                self.tokenizer = Tokenizer.from_gguf(r)
+            self.code_table = self.tokenizer.speech_code_table()
+            self._speech_table_dev = jnp.asarray(self.code_table)
+            self._im_end_id = self.tokenizer.token_to_id.get("<|im_end|>", -1)
+            self._eos_id = self.tokenizer.eos_id
+
+        codec_reader = GGUFReader(config.codec_path)
+        self.codec_params, self.codec_cfg = load_codec_params(codec_reader)
+        codec_reader.close()
+        self.sample_rate = self.codec_cfg.sample_rate
+        self.samples_per_token = self.codec_cfg.samples_per_token
+
+    @property
+    def is_ready(self) -> bool:
+        return self.codec_params is not None
+
+    # ------------------------------------------------------------------
+    # LLM: speech-token generation
+    # ------------------------------------------------------------------
+
+    def _resolve(self, options: Options) -> tuple[float, int, int]:
+        temp = options.temperature if options.temperature >= 0 else self.config.temperature
+        max_tok = options.max_tokens if options.max_tokens > 0 else self.config.max_tokens
+        seed = options.seed if options.seed >= 0 else self.config.seed
+        return temp, max_tok, seed
+
+    def generate_tokens(self, text: str, options: Options = Options(),
+                        on_token=None, profile: StreamProfile | None = None
+                        ) -> list[int]:
+        """Autoregressive generation of LLM token ids for `text`
+        (run_llm equivalent, `test-to-speech.cpp:94-199`).  `on_token(tid,
+        n_generated)` is called per token and may return False to stop."""
+        if self.llm_params is None or self.tokenizer is None:
+            raise RuntimeError("LLM model is not loaded")
+        temp, max_tok, seed = self._resolve(options)
+        cfg = self.llm_cfg
+
+        prompt = build_prompt(normalize_tts_text(text))
+        ids = self.tokenizer.encode(prompt, add_special=True, parse_special=True)
+        n = len(ids)
+        if n + max_tok > self.config.n_ctx:
+            max_tok = max(0, self.config.n_ctx - n)
+
+        bucket = _round_up(n, self.config.prompt_bucket)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = ids
+
+        t0 = time.perf_counter()
+        cache = init_kv_cache(cfg, 1, self.config.n_ctx,
+                              dtype=jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
+                              else jnp.float32)
+        last, cache = llm_prefill(self.llm_params, jnp.asarray(toks),
+                                  jnp.asarray([n], jnp.int32), cache, cfg)
+        last.block_until_ready()
+        if profile:
+            profile.prefill_sec += time.perf_counter() - t0
+
+        key = jax.random.PRNGKey(seed)
+        temp_arr = jnp.float32(temp)
+        generated: list[int] = []
+        n_gen = 0
+        while n_gen < max_tok:
+            t1 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            tok = sample_token(last, temp_arr, sub)
+            tid = int(tok[0])
+            if tid == self._eos_id or tid == self._im_end_id:
+                if profile:
+                    profile.llm_sec += time.perf_counter() - t1
+                break
+            last, cache = llm_decode_step(self.llm_params, tok, cache, cfg)
+            last.block_until_ready()
+            if profile:
+                profile.llm_sec += time.perf_counter() - t1
+            generated.append(tid)
+            n_gen += 1
+            if profile:
+                profile.llm_tokens = n_gen
+            if on_token is not None and not on_token(tid, n_gen):
+                break
+        return generated
+
+    def generate_token_text(self, text: str, options: Options = Options()) -> str:
+        """Token-text output (`generate_token_text`,
+        `test-to-speech.cpp:641-651`)."""
+        if options.skip_llm:
+            return text
+        ids = self.generate_tokens(text, options)
+        return self.tokenizer.decode(ids)
+
+    def tokens_to_codes(self, token_ids: list[int]) -> list[int]:
+        """Sampled token ids -> codec codes via the int lookup table."""
+        t = self.code_table
+        return [int(t[i]) for i in token_ids if 0 <= i < len(t) and t[i] >= 0]
+
+    # ------------------------------------------------------------------
+    # Codec: codes -> audio (bucketed)
+    # ------------------------------------------------------------------
+
+    def decode_codes(self, codes: list[int] | np.ndarray, voice: VoiceModel,
+                     apply_peak_normalization: bool = True,
+                     profile: StreamProfile | None = None) -> np.ndarray:
+        """codes -> float PCM; bucketed decode, exact output length
+        T * samples_per_token (`decode_tokens_to_audio`,
+        `test-to-speech.cpp:201-246`)."""
+        if not voice.is_ready:
+            raise RuntimeError("voice model is not ready")
+        codes = np.asarray(codes, np.int32).reshape(-1)
+        T = len(codes)
+        if T == 0:
+            return np.zeros(0, np.float32)
+        bucket = _round_up(T, self.config.code_bucket)
+        padded = np.zeros(bucket, np.int32)
+        padded[:T] = codes
+        emb = jnp.asarray(voice.embedding, jnp.float32)
+        cfg = self.codec_cfg
+
+        t0 = time.perf_counter()
+        log_mag, phase = codec_decode_spec(
+            self.codec_params, jnp.asarray(padded), emb, cfg,
+            n_real=jnp.asarray(T, jnp.int32))
+        log_mag.block_until_ready()
+        t1 = time.perf_counter()
+
+        S_final = log_mag.shape[0]
+        frame_mask = (jnp.arange(S_final) < T * cfg.total_upsample).astype(jnp.float32)
+        audio = spec_to_audio(log_mag, phase,
+                              self.codec_params["istft_cos_basis"],
+                              self.codec_params["istft_sin_basis"],
+                              self.codec_params["istft_hann"],
+                              cfg.hop_length, frame_mask)
+        audio = np.asarray(audio)[: T * cfg.samples_per_token]
+        t2 = time.perf_counter()
+        if profile:
+            profile.codec_sec += t1 - t0
+            profile.istft_sec += t2 - t1
+            profile.decode_calls += 1
+            profile.decoded_codes += T
+
+        if apply_peak_normalization:
+            peak = float(np.max(np.abs(audio))) if audio.size else 0.0
+            if peak > 1e-8:
+                audio = audio * (0.95 / peak)
+        return audio.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # Offline synthesis
+    # ------------------------------------------------------------------
+
+    def synthesize(self, voice: VoiceModel, text: str,
+                   options: Options = Options()) -> np.ndarray:
+        """Offline text -> PCM (`synthesize_to_vector`,
+        `test-to-speech.cpp:305-320`)."""
+        if options.skip_llm:
+            codes = parse_speech_tokens(text)
+        else:
+            codes = self.tokens_to_codes(self.generate_tokens(text, options))
+        if not codes:
+            raise RuntimeError("no speech codes generated")
+        return self.decode_codes(codes, voice, options.apply_peak_normalization)
+
+    def synthesize_to_file(self, voice: VoiceModel, text: str, path: str,
+                           options: Options = Options()) -> None:
+        from ..audio.wav import wav_write
+        audio = self.synthesize(voice, text, options)
+        wav_write(path, audio, self.sample_rate)
+
+    # ------------------------------------------------------------------
+    # Streaming synthesis
+    # ------------------------------------------------------------------
+
+    def synthesize_stream(self, voice: VoiceModel, text: str,
+                          callback: StreamCallback,
+                          chunk_samples: int = 0,
+                          options: Options = Options(),
+                          profile: StreamProfile | None = None) -> bool:
+        """Streaming synthesis with the reference commit policy
+        (`synthesize_stream_profiled`, `test-to-speech.cpp:348-626`):
+        emit check every 20 tokens, 32-code holdback, >=24-code min commit,
+        full-prefix re-decode, actual-ratio sample mapping, ~30 ms crossfade,
+        chunked callback emission, peak-norm disabled."""
+        if profile is None:
+            profile = StreamProfile()
+        t_total0 = time.perf_counter()
+        if callback is None:
+            return False
+        if chunk_samples <= 0:
+            chunk_samples = self.config.chunk_samples
+        sr = self.sample_rate
+        crossfade = min(sr * 3 // 100, 4096)
+        tail: np.ndarray = np.zeros(0, np.float32)
+
+        def timed_callback(samples, is_last):
+            t0 = time.perf_counter()
+            ok = callback(samples, sr, is_last)
+            profile.callback_sec += time.perf_counter() - t0
+            if samples is not None and profile.first_audio_sec < 0:
+                profile.first_audio_sec = time.perf_counter() - t_total0
+            return ok
+
+        def emit_range(audio: np.ndarray, begin: int, end: int,
+                       is_final: bool) -> bool:
+            nonlocal tail
+            if begin >= end:
+                if is_final:
+                    return timed_callback(None, True)
+                return True
+            i = begin
+            first = True
+            while i < end:
+                n = min(chunk_samples, end - i)
+                chunk = audio[i:i + n].copy()
+                if first and tail.size:
+                    xf = min(tail.size, chunk.size)
+                    j = np.arange(xf, dtype=np.float32)
+                    a = (j + 1.0) / (xf + 1.0)
+                    chunk[:xf] = (1.0 - a) * tail[:xf] + a * chunk[:xf]
+                if n >= crossfade:
+                    tail = chunk[-crossfade:].copy()
+                else:
+                    tail = chunk.copy()
+                is_last = is_final and (i + n >= end)
+                if not timed_callback(chunk, is_last):
+                    return False
+                profile.emitted_samples += n
+                i += n
+                first = False
+            return True
+
+        if options.skip_llm:
+            audio = self.decode_codes(parse_speech_tokens(text), voice,
+                                      apply_peak_normalization=False,
+                                      profile=profile)
+            ok = emit_range(audio, 0, len(audio), True)
+            profile.total_sec = time.perf_counter() - t_total0
+            return ok
+
+        committed = 0
+        codes: list[int] = []
+
+        def maybe_emit(is_final: bool) -> bool:
+            nonlocal committed
+            if not codes:
+                return not is_final
+            target = len(codes) if is_final else max(
+                len(codes) - self.config.holdback_codes, 0)
+            if target <= committed:
+                if is_final:
+                    return timed_callback(None, True)
+                return True
+            if not is_final and (target - committed) < self.config.min_commit_step_codes:
+                return True
+            # quality-first: re-decode the FULL accumulated prefix
+            audio = self.decode_codes(codes, voice,
+                                      apply_peak_normalization=False,
+                                      profile=profile)
+            spc = len(audio) / len(codes) if codes else 0.0
+            begin = int(round(committed * spc))
+            end = int(round(target * spc))
+            safe_end = min(end, len(audio))
+            if begin >= safe_end:
+                if is_final:
+                    return timed_callback(None, True)
+                return True
+            committed = target
+            return emit_range(audio, begin, safe_end, is_final)
+
+        ok_holder = {"ok": True}
+        table = self.code_table
+
+        def on_token(tid: int, n_gen: int) -> bool:
+            if 0 <= tid < len(table) and table[tid] >= 0:
+                codes.append(int(table[tid]))
+            if n_gen % self.config.stream_check_interval == 0:
+                if not maybe_emit(False):
+                    ok_holder["ok"] = False
+                    return False
+            return True
+
+        self.generate_tokens(text, options, on_token=on_token, profile=profile)
+        ok = ok_holder["ok"]
+        if ok:
+            ok = maybe_emit(True)
+        profile.total_sec = time.perf_counter() - t_total0
+        return ok
