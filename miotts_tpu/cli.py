@@ -1,0 +1,203 @@
+"""miotts CLI — offline synthesis, streaming benchmark, stream-compare,
+tensor dump.
+
+Flag vocabulary follows the reference binaries
+(`/root/reference/src/main.cpp:24-43`,
+`examples/stream-benchmark.cpp`, `examples/stream-compare.cpp`) minus the
+CPU-only knobs (--threads, -ngl — SURVEY.md §2.2: irrelevant on TPU).
+
+Subcommands:
+  synth      text -> WAV (default; `miotts` equivalent)
+  bench      streaming benchmark, prints stream_bench.* metrics
+  compare    offline-vs-streaming fidelity, prints compare.* metrics
+  analyze    waveform health report for a WAV
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_model_args(p: argparse.ArgumentParser, need_model=True):
+    p.add_argument("-m", "--model", default="", help="MioTTS LLM GGUF path")
+    p.add_argument("-c", "--codec", required=True, help="MioCodec GGUF path")
+    p.add_argument("-v", "--voice", default="", help="voice .emb.gguf path")
+    p.add_argument("-p", "--prompt", default="", help="text to synthesize")
+    p.add_argument("-t", "--temp", type=float, default=0.8)
+    p.add_argument("--max-tokens", type=int, default=700)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--skip-llm", action="store_true",
+                   help="treat --prompt as raw <|s_N|> token text")
+
+
+def _make_engine(args):
+    from .runtime.engine import EngineConfig, TTSEngine
+    return TTSEngine(EngineConfig(
+        model_path=args.model, codec_path=args.codec,
+        temperature=args.temp, max_tokens=args.max_tokens, seed=args.seed))
+
+
+def _make_options(args):
+    from .runtime.engine import Options
+    return Options(temperature=args.temp, max_tokens=args.max_tokens,
+                   skip_llm=args.skip_llm, seed=args.seed)
+
+
+def _load_voice(args):
+    from .runtime.engine import VoiceModel
+    if not args.voice:
+        print("Error: --voice is required", file=sys.stderr)
+        sys.exit(1)
+    return VoiceModel(args.voice)
+
+
+def cmd_synth(args) -> int:
+    if args.dump_tensors:
+        from .gguf import GGUFReader
+        with GGUFReader(args.codec) as r:
+            print(f"Tensors in {args.codec}: {len(r.tensors)}")
+            for name in r.tensor_order:
+                info = r.tensors[name]
+                ne = list(info.ne) + [1] * (4 - len(info.ne))
+                print(f"  {name:<60s} [{ne[0]:5d}, {ne[1]:5d}, {ne[2]:5d}, "
+                      f"{ne[3]:5d}] type={info.type_name}")
+        return 0
+    if not args.prompt:
+        print("Error: --prompt is required", file=sys.stderr)
+        return 1
+    if not args.skip_llm and not args.model:
+        print("Error: --model is required (or use --skip-llm)", file=sys.stderr)
+        return 1
+    engine = _make_engine(args)
+    voice = _load_voice(args)
+    engine.synthesize_to_file(voice, args.prompt, args.output, _make_options(args))
+    print(f"Saved: {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """Streaming benchmark with a no-op callback
+    (`examples/stream-benchmark.cpp:86-167` metric contract)."""
+    from .runtime.profile import StreamProfile
+    engine = _make_engine(args)
+    voice = _load_voice(args)
+    profile = StreamProfile()
+    emitted = [0]
+
+    def cb(samples, sr, is_last):
+        if samples is not None:
+            emitted[0] += len(samples)
+        return True
+
+    ok = engine.synthesize_stream(voice, args.prompt, cb,
+                                  chunk_samples=args.chunk_samples,
+                                  options=_make_options(args), profile=profile)
+    if not ok:
+        print("stream_bench.error=1")
+        return 1
+    audio_sec = emitted[0] / engine.sample_rate
+    for k, v in profile.as_metrics(audio_sec).items():
+        print(f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    """Offline vs streaming fidelity (`examples/stream-compare.cpp:100-275`):
+    MAE/RMSE/max-abs + best-lag search within +-4096 samples."""
+    from .audio.wav import wav_write
+    from .runtime.engine import Options
+    engine = _make_engine(args)
+    voice = _load_voice(args)
+
+    token_text = engine.generate_token_text(args.prompt, _make_options(args))
+    opts = Options(skip_llm=True, apply_peak_normalization=False)
+    offline = engine.synthesize(voice, token_text, opts)
+
+    chunks = []
+    engine.synthesize_stream(voice, token_text,
+                             lambda s, sr, last: (chunks.append(s) or True) if s is not None else True,
+                             chunk_samples=args.chunk_samples, options=opts)
+    streamed = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    if args.output:
+        wav_write(args.output + ".offline.wav", offline, engine.sample_rate)
+        wav_write(args.output + ".stream.wav", streamed, engine.sample_rate)
+
+    n = min(len(offline), len(streamed))
+    print(f"compare.offline_samples={len(offline)}")
+    print(f"compare.stream_samples={len(streamed)}")
+    if n == 0:
+        return 1
+    a, b = offline[:n], streamed[:n]
+    diff = a - b
+    print(f"compare.mae={np.abs(diff).mean():.8f}")
+    print(f"compare.rmse={np.sqrt((diff ** 2).mean()):.8f}")
+    print(f"compare.max_abs={np.abs(diff).max():.8f}")
+
+    # best-lag search by RMSE within +-4096 samples
+    best_lag, best_rmse = 0, float("inf")
+    for lag in range(-4096, 4097, 16):
+        if lag >= 0:
+            x, y = a[lag:], b[:len(b) - lag if lag else len(b)]
+        else:
+            x, y = a[:lag], b[-lag:]
+        m = min(len(x), len(y))
+        if m < 1000:
+            continue
+        r = float(np.sqrt(np.mean((x[:m] - y[:m]) ** 2)))
+        if r < best_rmse:
+            best_rmse, best_lag = r, lag
+    print(f"compare.best_lag_samples={best_lag}")
+    print(f"compare.best_lag_rmse={best_rmse:.8f}")
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from .audio.analyze import analyze_audio
+    from .audio.wav import wav_read
+    for path in args.files:
+        x, sr = wav_read(path)
+        rep = analyze_audio(x, sr)
+        print(f"=== {path} ===")
+        for k, v in rep.items():
+            print(f"  {k}: {v}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="miotts", description=__doc__)
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("synth", help="offline text -> WAV")
+    _add_model_args(p)
+    p.add_argument("-o", "--output", default="output.wav")
+    p.add_argument("--dump-tensors", action="store_true")
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("bench", help="streaming benchmark")
+    _add_model_args(p)
+    p.add_argument("--chunk-samples", type=int, default=4096)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("compare", help="offline vs streaming fidelity")
+    _add_model_args(p)
+    p.add_argument("--chunk-samples", type=int, default=4096)
+    p.add_argument("-o", "--output", default="")
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("analyze", help="WAV health report")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=cmd_analyze)
+
+    args = parser.parse_args(argv)
+    if not getattr(args, "fn", None):
+        parser.print_help()
+        return 1
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
