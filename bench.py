@@ -1,0 +1,131 @@
+"""Benchmark entry point: streaming TTS realtime ratio on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md) — the baseline is the
+definition of the headline metric itself: `stream_bench.x_realtime`
+(audio seconds produced per wall second, `examples/stream-benchmark.cpp:
+148-158`), with 1.0 (= realtime) as the reference point for vs_baseline.
+
+Since upstream model files are unreachable offline, the bench builds
+synthetic-weight models at REAL shapes (bench-0.1B LLM in Q8_0 + full-size
+MioCodec) so kernels and memory traffic match the real 0.1B-Q8_0 config
+(BASELINE.json config 1/3).  Full per-stage metrics go to stderr and
+benchmarks/last_bench.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks", "cache")
+MAX_TOKENS = int(os.environ.get("MIOTTS_BENCH_TOKENS", "128"))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_models():
+    """Build (once) the bench model files: 0.1B-shape Q8_0 LLM + full codec."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    llm_path = os.path.join(BENCH_DIR, "bench-0.1B-Q8_0.gguf")
+    codec_path = os.path.join(BENCH_DIR, "bench-miocodec.gguf")
+    emb_path = os.path.join(BENCH_DIR, "bench-voice.emb.gguf")
+
+    if not os.path.exists(llm_path):
+        log("bench: building synthetic 0.1B Q8_0 LLM ...")
+        from miotts_tpu.gguf import GGML_Q8_0
+        from miotts_tpu.models.llm import LLMConfig
+        from miotts_tpu.models.synthetic import write_synthetic_llm
+        n_speech = 12800
+        cfg = LLMConfig(arch="qwen2", n_layers=12, dim=768, n_heads=12,
+                        n_kv_heads=4, head_dim=64, ff_dim=2048,
+                        n_vocab=256 + 3 + n_speech, n_ctx=2048,
+                        rope_theta=1e6, rope_style="neox", qkv_bias=True,
+                        qk_norm=False)
+        write_synthetic_llm(llm_path, cfg=cfg, quant_type=GGML_Q8_0, seed=0)
+
+    if not os.path.exists(codec_path):
+        log("bench: building synthetic full-size MioCodec ...")
+        from miotts_tpu.models.codec import CodecConfig
+        from miotts_tpu.models.synthetic import write_synthetic_codec
+        write_synthetic_codec(codec_path, cfg=CodecConfig(), n_codes=12800, seed=1)
+
+    if not os.path.exists(emb_path):
+        from miotts_tpu.gguf import write_voice_embedding
+        rng = np.random.default_rng(7)
+        write_voice_embedding(emb_path, rng.standard_normal(128).astype(np.float32) * 0.3)
+
+    return llm_path, codec_path, emb_path
+
+
+def main() -> int:
+    import jax
+    log(f"bench: devices = {jax.devices()}")
+    llm_path, codec_path, emb_path = ensure_models()
+
+    from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
+    from miotts_tpu.runtime.profile import StreamProfile
+
+    t0 = time.perf_counter()
+    engine = TTSEngine(EngineConfig(
+        model_path=llm_path, codec_path=codec_path,
+        max_tokens=MAX_TOKENS, temperature=0.8, seed=42))
+    voice = VoiceModel(emb_path)
+    log(f"bench: models loaded in {time.perf_counter() - t0:.1f}s")
+
+    # Warmup: trigger prefill/decode/codec compiles outside the timed run.
+    t0 = time.perf_counter()
+    warm = StreamProfile()
+    engine.synthesize_stream(voice, "warmup run", lambda s, sr, last: True,
+                             options=Options(max_tokens=MAX_TOKENS, seed=1),
+                             profile=warm)
+    log(f"bench: warmup in {time.perf_counter() - t0:.1f}s "
+        f"(tokens={warm.llm_tokens}, decodes={warm.decode_calls})")
+
+    # Timed streaming benchmark (no-op callback, stream-benchmark.cpp model).
+    profile = StreamProfile()
+    emitted = [0]
+
+    def cb(samples, sr, is_last):
+        if samples is not None:
+            emitted[0] += len(samples)
+        return True
+
+    ok = engine.synthesize_stream(
+        voice, "benchmark utterance for the streaming pipeline",
+        cb, options=Options(max_tokens=MAX_TOKENS, seed=42), profile=profile)
+    if not ok:
+        print(json.dumps({"metric": "stream_bench.x_realtime", "value": 0.0,
+                          "unit": "audio_sec/wall_sec", "vs_baseline": 0.0}))
+        return 1
+
+    audio_sec = emitted[0] / engine.sample_rate
+    metrics = profile.as_metrics(audio_sec)
+    metrics["bench.decode_tokens_per_sec"] = (
+        profile.llm_tokens / profile.llm_sec if profile.llm_sec > 0 else 0.0)
+    for k, v in sorted(metrics.items()):
+        log(f"  {k} = {v:.6f}" if isinstance(v, float) else f"  {k} = {v}")
+
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/last_bench.json", "w") as f:
+        json.dump(metrics, f, indent=2)
+
+    x_rt = metrics["stream_bench.x_realtime"]
+    print(json.dumps({
+        "metric": "stream_bench.x_realtime",
+        "value": round(x_rt, 4),
+        "unit": "audio_sec/wall_sec",
+        "vs_baseline": round(x_rt / 1.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

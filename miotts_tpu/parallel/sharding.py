@@ -1,0 +1,130 @@
+"""Sharding layouts: tensor-parallel LLM weights + KV cache over a mesh.
+
+GSPMD layout (SURVEY.md §7.7, the scaling-book recipe: pick a mesh, annotate
+shardings, let XLA insert the collectives):
+
+  * Attention: q/k/v projections sharded on the HEAD (output) dim over
+    'model'; the output projection sharded on its INPUT dim, so per-layer
+    attention is [column-parallel -> row-parallel] with ONE psum (all-reduce)
+    at wo — the Megatron pattern, all over ICI.
+  * FFN: gate/up column-parallel, down row-parallel — one psum per layer.
+  * KV cache sharded over heads ('model') and batch ('data').
+  * Embedding + norms replicated (tiny); logits matmul column-parallel over
+    vocab.
+  * Activations: batch over 'data', features replicated.
+
+QTensor quantized weights shard exactly like dense ones: `values` [N, K] and
+`scales` [N, K/g] take the same PartitionSpec (group axis divides K evenly
+on every shard as long as K_shard % group == 0, which holds for all
+supported head/ffn dims).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llm import LLMConfig
+from ..ops.qmat import QTensor
+
+# PartitionSpecs for each stacked block tensor ([layer, out, in] after
+# stacking; dim 0 = layer stays unsharded).
+_BLOCK_SPECS = {
+    "attn_norm": P(None, None),
+    "wq": P(None, "model", None),
+    "wk": P(None, "model", None),
+    "wv": P(None, "model", None),
+    "wo": P(None, None, "model"),
+    "bq": P(None, "model"),
+    "bk": P(None, "model"),
+    "bv": P(None, "model"),
+    "q_norm": P(None, None),
+    "k_norm": P(None, None),
+    "ffn_norm": P(None, None),
+    "w_gate": P(None, "model", None),
+    "w_up": P(None, "model", None),
+    "w_down": P(None, None, "model"),
+}
+
+_TOP_SPECS = {
+    "token_embd": P(None, None),
+    "output_norm": P(None),
+    "output": P("model", None),
+}
+
+
+def _fits(shape, spec: P, mesh: Mesh) -> bool:
+    for dim, ax in zip(shape, tuple(spec)):
+        if ax is None:
+            continue
+        if dim % mesh.shape[ax] != 0:
+            return False
+    return True
+
+
+def _apply_spec(tree, spec: P, mesh: Mesh):
+    # Fall back to replication when a dim doesn't divide the mesh axis
+    # (e.g. an odd vocab size on the 'model' axis).
+    if isinstance(tree, QTensor):
+        # every component (values AND per-group scales) must divide evenly,
+        # else replicate the whole tensor
+        ok = _fits(tree.values.shape, spec, mesh) and _fits(tree.scales.shape, spec, mesh)
+        if tree.mins is not None:
+            ok = ok and _fits(tree.mins.shape, spec, mesh)
+        if not ok:
+            spec = P()
+    elif not _fits(tree.shape, spec, mesh):
+        spec = P()
+    if isinstance(tree, QTensor):
+        # values [.., N, K]; scales/mins [.., N, K/g] — same partitioning
+        return QTensor(
+            values=jax.device_put(tree.values, NamedSharding(mesh, spec)),
+            scales=jax.device_put(tree.scales, NamedSharding(mesh, spec)),
+            mins=None if tree.mins is None else jax.device_put(
+                tree.mins, NamedSharding(mesh, spec)),
+            group=tree.group,
+        )
+    return jax.device_put(tree, NamedSharding(mesh, spec))
+
+
+def shard_llm_params(params: dict, mesh: Mesh, cfg: LLMConfig) -> dict:
+    """Place LLM params on the mesh with TP shardings."""
+    out = {}
+    for k, v in params.items():
+        if k == "blocks":
+            out[k] = {bk: _apply_spec(bv, _BLOCK_SPECS[bk], mesh)
+                      for bk, bv in v.items()}
+        elif k in _TOP_SPECS:
+            out[k] = _apply_spec(v, _TOP_SPECS[k], mesh)
+        else:
+            out[k] = _apply_spec(v, P(), mesh)
+    return out
+
+
+def kv_cache_sharding(mesh: Mesh) -> dict:
+    """KV cache [L, B, S, H_kv, D]: batch over 'data', heads over 'model'."""
+    return {
+        "k": NamedSharding(mesh, P(None, "data", None, "model", None)),
+        "v": NamedSharding(mesh, P(None, "data", None, "model", None)),
+        "fill": NamedSharding(mesh, P("data")),
+    }
+
+
+def shard_kv_cache(cache: dict, mesh: Mesh) -> dict:
+    sh = kv_cache_sharding(mesh)
+    out = {}
+    for k, v in cache.items():
+        spec = sh[k].spec
+        if not _fits(v.shape, spec, mesh):
+            # drop axes that don't divide (e.g. fewer KV heads than the
+            # model axis) rather than failing
+            spec = P(*[ax if ax is None or d % mesh.shape[ax] == 0 else None
+                       for d, ax in zip(v.shape, tuple(spec))])
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (codec params, small tensors) across the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
