@@ -1,17 +1,24 @@
 """Quantized weight tensors on device + fused dequant matmul.
 
 TPU-native replacement for ggml's quantized matmul (SURVEY.md §2.2): GGUF
-block formats are repacked once at load into the planar GroupQuant layout
-(gguf/quants.py) and live in HBM as int8 values + per-group scales.  The
-matmul dequantizes inside the kernel, so weight bytes read from HBM stay at
-~1 byte/element — the decode GEMV is HBM-bandwidth-bound, which makes this
-the difference between Q4 being 4x faster than f32 or not.
+block formats are repacked once at load into a planar layout (gguf/quants.py)
+and live in HBM as int8 values + per-group scales.  The matmul dequantizes
+inside the kernel, so weight bytes read from HBM stay at ~1 byte/element —
+the decode GEMV is HBM-bandwidth-bound, which makes this the difference
+between Q4 being 4x faster than f32 or not.
+
+Device layout: values are stored TRANSPOSED as [K, N] (contraction dim
+first) with scales [K/g, N].  Two reasons, both TPU-specific:
+  * the quant group then runs along the SUBLANE axis, so the in-kernel
+    dequant reshape [K_t, N] -> [K_t/g, g, N] keeps the lane dim intact
+    (Mosaic rejects lane-splitting reshapes);
+  * the matmul needs no transposition: y = x[M, K] @ w[K, N].
 
 Two execution paths:
-  * XLA path (`_qdot_xla`): dequant to bf16/f32 then dot.  XLA fuses the
-    dequant into the matmul prologue; used on CPU (tests) and as fallback.
-  * Pallas path (`_qdot_pallas`): explicit VMEM-tiled kernel, dequant fused
-    ahead of the MXU dot, guaranteed no materialized f32 weight copy.
+  * XLA path (`_qdot_xla`): dequant then dot; XLA fuses.  Used on CPU
+    (tests) and as fallback.
+  * Pallas path (`_qdot_pallas`): VMEM-tiled kernel, dequant fused ahead of
+    the MXU dot, guaranteed no materialized f32 weight copy in HBM.
 
 `QTensor` is a registered pytree so quantized weights pass through jit/scan
 like ordinary arrays.
@@ -40,18 +47,19 @@ from ..gguf.quants import GroupQuant
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QTensor:
-    """Group-affine quantized matrix [out, in], contraction over `in`.
-
-    dequant: w[o, i] = values[o, i] * scales[o, i//group] - mins[o, i//group]
-    """
-    values: jax.Array            # int8  [N, K]
-    scales: jax.Array            # f32   [N, K // group]
-    mins: jax.Array | None       # f32   [N, K // group] or None
+    """Group-affine quantized matrix, logical shape [out=N, in=K], stored
+    transposed.  dequant: w[k, n] = values[k, n] * scales[k//g, n]
+    - mins[k//g, n]; y = x @ w."""
+    values: jax.Array            # int8  [K, N]
+    scales: jax.Array            # f32   [K // group, N]
+    mins: jax.Array | None       # f32   [K // group, N] or None
     group: int
 
     @property
     def shape(self):
-        return self.values.shape
+        """Logical [N, K] (matching the dense GGUF Linear layout)."""
+        k, n = self.values.shape[-2:]
+        return (*self.values.shape[:-2], n, k)
 
     def tree_flatten(self):
         leaves = [self.values, self.scales]
@@ -69,20 +77,26 @@ class QTensor:
     @classmethod
     def from_group_quant(cls, gq: GroupQuant, scale_dtype=jnp.float32) -> "QTensor":
         return cls(
-            values=jnp.asarray(gq.values),
-            scales=jnp.asarray(gq.scales, scale_dtype),
-            mins=None if gq.mins is None else jnp.asarray(gq.mins, scale_dtype),
+            values=jnp.asarray(np.ascontiguousarray(gq.values.T)),
+            scales=jnp.asarray(np.ascontiguousarray(gq.scales.T), scale_dtype),
+            mins=None if gq.mins is None else jnp.asarray(
+                np.ascontiguousarray(gq.mins.T), scale_dtype),
             group=gq.group,
         )
 
-    def dequant(self, dtype=jnp.float32) -> jax.Array:
-        n, k = self.values.shape
+    def dequant_t(self, dtype=jnp.float32) -> jax.Array:
+        """Dequantized weight in storage orientation [K, N]."""
+        k, n = self.values.shape
         g = self.group
-        s = jnp.repeat(self.scales, g, axis=1)
-        w = self.values.astype(dtype) * s.astype(dtype)
+        v = self.values.astype(dtype).reshape(k // g, g, n)
+        w = v * self.scales.astype(dtype)[:, None, :]
         if self.mins is not None:
-            w = w - jnp.repeat(self.mins, g, axis=1).astype(dtype)
-        return w
+            w = w - self.mins.astype(dtype)[:, None, :]
+        return w.reshape(k, n)
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        """Dequantized weight in logical [N, K] orientation (tests/debug)."""
+        return self.dequant_t(dtype).T
 
 
 def _use_pallas() -> bool:
@@ -99,10 +113,10 @@ def _use_pallas() -> bool:
 # ---------------------------------------------------------------------------
 
 def _qdot_xla(x: jax.Array, qt: QTensor) -> jax.Array:
-    """x [..., K] @ W^T -> [..., N].  Dequant in x.dtype; XLA fuses."""
-    w = qt.dequant(jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16)
+    """x [M, K] @ w [K, N] -> [M, N].  Dequant then dot; XLA fuses."""
+    w = qt.dequant_t(jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16)
     return jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (1,)), ((), ())),
+        x, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -110,61 +124,53 @@ def _qdot_xla(x: jax.Array, qt: QTensor) -> jax.Array:
 # Pallas path
 # ---------------------------------------------------------------------------
 
-def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles, has_min):
-    """Grid (n_tiles, k_tiles).  Blocks:
-    x [M, K_t], v int8 [N_t, K_t], s [N_t, K_t//g] (mins folded as extra rows
-    when present — see _qdot_pallas), out [M, N_t], acc f32 scratch."""
+def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles):
+    """Grid (n_tiles, k_tiles).  Blocks: x [M, K_t], v int8 [K_t, N_t],
+    s [K_t//g, N_t], out [M, N_t], acc f32 scratch [M, N_t]."""
     k_idx = pl.program_id(1)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    k_t, n_t = v_ref.shape
     v = v_ref[:].astype(jnp.float32)
     s = s_ref[:]
-    n_t, k_t = v.shape
-    # group-affine dequant: broadcast each scale over its g consecutive cols
-    w = (v.reshape(n_t, k_t // group, group) * s[:, :, None]).reshape(n_t, k_t)
-    x = x_ref[:]
+    # dequant: group runs along sublanes; lane dim (N_t) untouched
+    w = (v.reshape(k_t // group, group, n_t) * s[:, None, :]).reshape(k_t, n_t)
     acc_ref[:] += jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(k_idx == n_k_tiles - 1)
     def _():
         o_ref[:] = acc_ref[:]
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
 @partial(jax.jit, static_argnames=("interpret",))
 def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Array:
-    """Fused dequant+matmul Pallas kernel.  x [M, K] f32/bf16, returns
-    [M, N] in x.dtype.  Affine formats (mins) are decomposed as
-    x @ (v*s)^T - (group-sums of x) @ mins^T, the second term a tiny matmul.
-    """
+    """Fused dequant+matmul Pallas kernel.  x [M, K] f32/bf16 -> [M, N].
+    Affine formats (mins) add x-group-sums @ mins as a small correction
+    matmul outside the kernel."""
     M, K = x.shape
-    N, _ = qt.values.shape
+    _, N = qt.values.shape
     g = qt.group
 
-    TILE_N = 256 if N % 256 == 0 else 128
-    if N % TILE_N != 0:
-        TILE_N = N  # small / odd layouts: single tile
+    TILE_N = 256 if N % 256 == 0 else (128 if N % 128 == 0 else N)
     TILE_K = K
-    # Bound VMEM: keep value tile <= ~2 MB
-    while TILE_N * TILE_K > 2 * 1024 * 1024 and TILE_K % (2 * g) == 0:
+    # Bound VMEM: keep the int8 value tile around <= ~1 MB
+    while TILE_N * TILE_K > 1024 * 1024 and TILE_K % (2 * g) == 0:
         TILE_K //= 2
     n_k_tiles = K // TILE_K
 
     xf = x.astype(jnp.float32)
     out = pl.pallas_call(
-        partial(_qdot_kernel, group=g, n_k_tiles=n_k_tiles, has_min=False),
+        partial(_qdot_kernel, group=g, n_k_tiles=n_k_tiles),
         grid=(N // TILE_N, n_k_tiles),
         in_specs=[
             pl.BlockSpec((M, TILE_K), lambda i, j: (0, j)),
-            pl.BlockSpec((TILE_N, TILE_K), lambda i, j: (i, j)),
-            pl.BlockSpec((TILE_N, TILE_K // g), lambda i, j: (i, j)),
+            pl.BlockSpec((TILE_K, TILE_N), lambda i, j: (j, i)),
+            pl.BlockSpec((TILE_K // g, TILE_N), lambda i, j: (j, i)),
         ],
         out_specs=pl.BlockSpec((M, TILE_N), lambda i, j: (0, i)),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
@@ -173,10 +179,10 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
     )(xf, qt.values, qt.scales)
 
     if qt.mins is not None:
-        # correction term: sum_k x_k * min_{k//g} = (x group-sums) @ mins^T
+        # correction: sum_k x_k * min_{k//g} = (x group-sums) @ mins
         xg = xf.reshape(M, K // g, g).sum(axis=2)
         out = out - jax.lax.dot_general(
-            xg, qt.mins, (((1,), (1,)), ((), ())),
+            xg, qt.mins, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     return out.astype(x.dtype)
 
@@ -186,8 +192,9 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
 # ---------------------------------------------------------------------------
 
 def qdot(x: jax.Array, w) -> jax.Array:
-    """x [..., K] @ W^T -> [..., N] for W either a plain array [N, K] or a
-    QTensor.  The single matmul entry point for all LLM linear layers."""
+    """x [..., K] @ W^T -> [..., N] for W either a dense [N, K] array (GGUF
+    Linear layout) or a QTensor.  The single matmul entry point for all LLM
+    linear layers."""
     if isinstance(w, QTensor):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])

@@ -66,24 +66,28 @@ def _apply_spec(tree, spec: P, mesh: Mesh):
     # Fall back to replication when a dim doesn't divide the mesh axis
     # (e.g. an odd vocab size on the 'model' axis).
     if isinstance(tree, QTensor):
+        # QTensor stores values transposed ([.., K, N] for logical [N, K]);
+        # swap the last two spec axes to match the storage orientation.
+        axes = list(tuple(spec)) + [None] * max(0, tree.values.ndim - len(tuple(spec)))
+        if len(axes) >= 2:
+            axes[-1], axes[-2] = axes[-2], axes[-1]
+        qspec = P(*axes)
         # every component (values AND per-group scales) must divide evenly,
         # else replicate the whole tensor
-        ok = _fits(tree.values.shape, spec, mesh) and _fits(tree.scales.shape, spec, mesh)
+        ok = _fits(tree.values.shape, qspec, mesh) and _fits(tree.scales.shape, qspec, mesh)
         if tree.mins is not None:
-            ok = ok and _fits(tree.mins.shape, spec, mesh)
+            ok = ok and _fits(tree.mins.shape, qspec, mesh)
         if not ok:
-            spec = P()
-    elif not _fits(tree.shape, spec, mesh):
-        spec = P()
-    if isinstance(tree, QTensor):
-        # values [.., N, K]; scales/mins [.., N, K/g] — same partitioning
+            qspec = P()
         return QTensor(
-            values=jax.device_put(tree.values, NamedSharding(mesh, spec)),
-            scales=jax.device_put(tree.scales, NamedSharding(mesh, spec)),
+            values=jax.device_put(tree.values, NamedSharding(mesh, qspec)),
+            scales=jax.device_put(tree.scales, NamedSharding(mesh, qspec)),
             mins=None if tree.mins is None else jax.device_put(
-                tree.mins, NamedSharding(mesh, spec)),
+                tree.mins, NamedSharding(mesh, qspec)),
             group=tree.group,
         )
+    if not _fits(tree.shape, spec, mesh):
+        spec = P()
     return jax.device_put(tree, NamedSharding(mesh, spec))
 
 
