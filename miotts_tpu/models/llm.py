@@ -320,6 +320,55 @@ def llm_decode_step(params, token, cache, cfg: LLMConfig):
 # Sampling (`llama_sampler_init_temp` + `_dist`, test-to-speech.cpp:127-130)
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def llm_generate_chunk(params: dict, last_logits: jax.Array, cache: dict,
+                       key: jax.Array, temperature: jax.Array,
+                       stop_ids: jax.Array, cfg: LLMConfig, n_steps: int):
+    """Generate up to `n_steps` tokens fully ON DEVICE (single sequence).
+
+    The reference's llama.cpp loop round-trips to the host every token
+    (`test-to-speech.cpp:164-192`); on TPU each dispatch costs an RPC, so the
+    sample -> stop-check -> decode loop runs inside one jitted
+    `lax.while_loop`, and the host receives a whole chunk of token ids at
+    once.  The streaming engine calls this with n_steps =
+    stream_check_interval, preserving the emit cadence.
+
+    last_logits: [1, V] logits for the next sample.
+    stop_ids: i32 [n_stop] token ids that terminate generation (eos,
+    <|im_end|>); pad with -1.
+
+    Returns (tokens [n_steps] i32 (-1 padded), n_generated, done,
+    last_logits, cache, key).  The PRNG split order matches the host loop
+    (`key, sub = split(key)` per token) so device and host generation are
+    sample-for-sample identical at equal seeds.
+    """
+    buf0 = jnp.full((n_steps,), -1, jnp.int32)
+
+    def cond(carry):
+        i, done, _, _, _, _ = carry
+        return jnp.logical_and(i < n_steps, jnp.logical_not(done))
+
+    def body(carry):
+        i, done, last, cache, key, buf = carry
+        key, sub = jax.random.split(key)
+        tok = sample_token(last, temperature, sub)          # [1]
+        is_stop = jnp.any(tok[0] == stop_ids)
+        buf = jnp.where(is_stop, buf, buf.at[i].set(tok[0]))
+
+        def step(args):
+            last, cache = args
+            return llm_decode_step(params, tok, cache, cfg)
+
+        last, cache = jax.lax.cond(is_stop, lambda a: a, step, (last, cache))
+        i = jnp.where(is_stop, i, i + 1)
+        return i, is_stop, last, cache, key, buf
+
+    i, done, last, cache, key, buf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(False), last_logits, cache,
+                     key, buf0))
+    return buf, i, done, last, cache, key
+
+
 @jax.jit
 def sample_token(logits: jax.Array, temperature: jax.Array,
                  key: jax.Array) -> jax.Array:

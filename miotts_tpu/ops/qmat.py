@@ -50,49 +50,63 @@ class QTensor:
     """Group-affine quantized matrix, logical shape [out=N, in=K], stored
     transposed.  dequant: w[k, n] = values[k, n] * scales[k//g, n]
     - mins[k//g, n]; y = x @ w."""
-    values: jax.Array            # int8  [K, N]
-    scales: jax.Array            # f32   [K // group, N]
-    mins: jax.Array | None       # f32   [K // group, N] or None
+    values: jax.Array            # int8  [K, N_pad]  (N padded to 128 lanes)
+    scales: jax.Array            # f32   [K // group, N_pad]
+    mins: jax.Array | None       # f32   [K // group, N_pad] or None
     group: int
+    n_out: int = -1              # logical output dim (un-padded N)
 
     @property
     def shape(self):
         """Logical [N, K] (matching the dense GGUF Linear layout)."""
         k, n = self.values.shape[-2:]
+        n = self.n_out if self.n_out > 0 else n
         return (*self.values.shape[:-2], n, k)
 
     def tree_flatten(self):
         leaves = [self.values, self.scales]
         if self.mins is not None:
             leaves.append(self.mins)
-        return leaves, (self.group, self.mins is not None)
+        return leaves, (self.group, self.mins is not None, self.n_out)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        group, has_mins = aux
+        group, has_mins, n_out = aux
         values, scales = leaves[0], leaves[1]
         mins = leaves[2] if has_mins else None
-        return cls(values=values, scales=scales, mins=mins, group=group)
+        return cls(values=values, scales=scales, mins=mins, group=group,
+                   n_out=n_out)
 
     @classmethod
     def from_group_quant(cls, gq: GroupQuant, scale_dtype=jnp.float32) -> "QTensor":
+        n, k = gq.values.shape
+        n_pad = (-n) % 128  # pad the lane (output) dim for TPU tiling
+        def pad_t(a):
+            at = np.ascontiguousarray(a.T)
+            if n_pad:
+                at = np.pad(at, ((0, 0), (0, n_pad)))
+            return at
         return cls(
-            values=jnp.asarray(np.ascontiguousarray(gq.values.T)),
-            scales=jnp.asarray(np.ascontiguousarray(gq.scales.T), scale_dtype),
+            values=jnp.asarray(pad_t(gq.values)),
+            scales=jnp.asarray(pad_t(gq.scales), scale_dtype),
             mins=None if gq.mins is None else jnp.asarray(
-                np.ascontiguousarray(gq.mins.T), scale_dtype),
+                pad_t(gq.mins), scale_dtype),
             group=gq.group,
+            n_out=n,
         )
 
     def dequant_t(self, dtype=jnp.float32) -> jax.Array:
-        """Dequantized weight in storage orientation [K, N]."""
+        """Dequantized weight in storage orientation [K, N] (un-padded)."""
         k, n = self.values.shape
         g = self.group
         v = self.values.astype(dtype).reshape(k // g, g, n)
         w = v * self.scales.astype(dtype)[:, None, :]
         if self.mins is not None:
             w = w - self.mins.astype(dtype)[:, None, :]
-        return w.reshape(k, n)
+        w = w.reshape(k, n)
+        if self.n_out > 0 and self.n_out != n:
+            w = w[:, : self.n_out]
+        return w
 
     def dequant(self, dtype=jnp.float32) -> jax.Array:
         """Dequantized weight in logical [N, K] orientation (tests/debug)."""
@@ -156,10 +170,12 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
     _, N = qt.values.shape
     g = qt.group
 
-    TILE_N = 256 if N % 256 == 0 else (128 if N % 128 == 0 else N)
+    TILE_N = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
     TILE_K = K
-    # Bound VMEM: keep the int8 value tile around <= ~1 MB
-    while TILE_N * TILE_K > 1024 * 1024 and TILE_K % (2 * g) == 0:
+    # Bound VMEM (int8 value tile <= ~512 KB) while keeping K tiles aligned
+    # to both the lane width (128, for the x block) and the quant group.
+    while (TILE_N * TILE_K > 512 * 1024
+           and TILE_K % 2 == 0 and (TILE_K // 2) % max(g, 128) == 0):
         TILE_K //= 2
     n_k_tiles = K // TILE_K
 
@@ -184,6 +200,8 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
         out = out - jax.lax.dot_general(
             xg, qt.mins, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+    if qt.n_out > 0 and qt.n_out != N:
+        out = out[:, : qt.n_out]
     return out.astype(x.dtype)
 
 
@@ -198,7 +216,11 @@ def qdot(x: jax.Array, w) -> jax.Array:
     if isinstance(w, QTensor):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        if _use_pallas() and _PALLAS_OK:
+        K = x2.shape[1]
+        pallas_ok = (_PALLAS_OK and _use_pallas()
+                     and K % 128 == 0 and K % w.group == 0
+                     and w.values.shape[1] % 128 == 0)
+        if pallas_ok:
             y = _qdot_pallas(x2, w)
         else:
             y = _qdot_xla(x2, w)

@@ -85,6 +85,7 @@ def _apply_spec(tree, spec: P, mesh: Mesh):
             mins=None if tree.mins is None else jax.device_put(
                 tree.mins, NamedSharding(mesh, qspec)),
             group=tree.group,
+            n_out=tree.n_out,
         )
     if not _fits(tree.shape, spec, mesh):
         spec = P()

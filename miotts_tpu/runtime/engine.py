@@ -31,8 +31,8 @@ import numpy as np
 from ..gguf import GGUFReader, load_voice_embedding
 from ..models.codec import CodecConfig, codec_decode_spec, load_codec_params
 from ..models.llm import (
-    LLMConfig, init_kv_cache, llm_decode_step, llm_prefill, load_llm_params,
-    sample_token,
+    LLMConfig, init_kv_cache, llm_decode_step, llm_generate_chunk,
+    llm_prefill, load_llm_params, sample_token,
 )
 from ..ops.istft import spec_to_audio
 from ..text import build_prompt, normalize_tts_text, parse_speech_tokens
@@ -166,29 +166,37 @@ class TTSEngine:
         if profile:
             profile.prefill_sec += time.perf_counter() - t0
 
+        # Device-side chunked generation: the sample->stop-check->decode loop
+        # runs in lax.while_loop chunks, so the host pays one dispatch per
+        # `chunk` tokens instead of per token (the reference round-trips
+        # every token, test-to-speech.cpp:164-192).  Chunk size equals the
+        # streaming emit cadence so the commit policy is unchanged.
+        chunk = self.config.stream_check_interval if on_token is not None else 64
         key = jax.random.PRNGKey(seed)
         temp_arr = jnp.float32(temp)
+        stop_ids = jnp.asarray([self._eos_id, self._im_end_id], jnp.int32)
         generated: list[int] = []
         n_gen = 0
-        while n_gen < max_tok:
+        stopped = False
+        while n_gen < max_tok and not stopped:
             t1 = time.perf_counter()
-            key, sub = jax.random.split(key)
-            tok = sample_token(last, temp_arr, sub)
-            tid = int(tok[0])
-            if tid == self._eos_id or tid == self._im_end_id:
-                if profile:
-                    profile.llm_sec += time.perf_counter() - t1
-                break
-            last, cache = llm_decode_step(self.llm_params, tok, cache, cfg)
-            last.block_until_ready()
+            buf, cnt, done, last, cache, key = llm_generate_chunk(
+                self.llm_params, last, cache, key, temp_arr, stop_ids,
+                cfg, chunk)
+            buf = np.asarray(buf)
+            cnt = int(cnt)
             if profile:
                 profile.llm_sec += time.perf_counter() - t1
-            generated.append(tid)
-            n_gen += 1
-            if profile:
-                profile.llm_tokens = n_gen
-            if on_token is not None and not on_token(tid, n_gen):
-                break
+            take = min(cnt, max_tok - n_gen)
+            stopped = bool(done) or take < cnt
+            for j in range(take):
+                tid = int(buf[j])
+                generated.append(tid)
+                n_gen += 1
+                if profile:
+                    profile.llm_tokens = n_gen
+                if on_token is not None and not on_token(tid, n_gen):
+                    return generated
         return generated
 
     def generate_token_text(self, text: str, options: Options = Options()) -> str:
