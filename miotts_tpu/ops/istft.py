@@ -111,6 +111,23 @@ def istft(spec_real: jax.Array, spec_imag: jax.Array,
     return audio[n_pad:n_out - n_pad]       # exactly S * hop samples
 
 
+@partial(jax.jit, static_argnames=("hop_length", "frames_per_code"))
+def spec_to_audio_bucketed(log_mag: jax.Array, phase: jax.Array,
+                           cos_basis: jax.Array, sin_basis: jax.Array,
+                           hann: jax.Array, hop_length: int,
+                           frames_per_code: int,
+                           n_real_codes: jax.Array) -> jax.Array:
+    """Head->audio for bucketed decode, fully inside one jit (the frame mask
+    is built on device so no eager glue ops dispatch through the runtime).
+    Only the first n_real_codes * frames_per_code * hop samples are valid."""
+    S = log_mag.shape[0]
+    frame_mask = (jnp.arange(S) < n_real_codes * frames_per_code).astype(jnp.float32)
+    mag = jnp.clip(jnp.exp(log_mag), 0.0, 100.0)
+    re = mag * jnp.cos(phase)
+    im = mag * jnp.sin(phase)
+    return istft(re, im, cos_basis, sin_basis, hann, hop_length, frame_mask)
+
+
 def spec_to_audio(log_mag: jax.Array, phase: jax.Array,
                   cos_basis: jax.Array, sin_basis: jax.Array, hann: jax.Array,
                   hop_length: int, frame_mask: jax.Array | None = None) -> jax.Array:

@@ -34,7 +34,7 @@ from ..models.llm import (
     LLMConfig, init_kv_cache, llm_decode_step, llm_generate_chunk,
     llm_prefill, load_llm_params, sample_token,
 )
-from ..ops.istft import spec_to_audio
+from ..ops.istft import spec_to_audio_bucketed
 from ..text import build_prompt, normalize_tts_text, parse_speech_tokens
 from ..text.tokenizer import Tokenizer
 from .profile import StreamProfile
@@ -45,6 +45,16 @@ StreamCallback = Callable[[Optional[np.ndarray], int, bool], bool]
 
 def _round_up(x: int, m: int) -> int:
     return max(m, (x + m - 1) // m * m)
+
+
+def _bucket_len(n: int, min_bucket: int) -> int:
+    """Geometric (power-of-2) length bucket: compile count stays O(log n)
+    over a whole utterance; codec compute is tiny so padding waste is
+    irrelevant next to an XLA recompile."""
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return b
 
 
 @dataclass
@@ -124,6 +134,51 @@ class TTSEngine:
     @property
     def is_ready(self) -> bool:
         return self.codec_params is not None
+
+    def warmup(self, max_codes: int | None = None,
+               prompt_len: int = 64) -> None:
+        """Precompile every executable a synthesis run will hit: the prefill
+        bucket, the decode chunk loop, and ALL codec length buckets up to
+        `max_codes`.  Keeps compiles out of serving latency (and out of
+        time-to-first-audio); the reference has no analog because ggml
+        rebuilds its graph every call anyway (`miocodec.cpp:558`)."""
+        cfgc = self.codec_cfg
+        emb = jnp.zeros((cfgc.adaln_dim,), jnp.float32)
+        if max_codes is None:
+            max_codes = self.config.max_tokens
+        buckets = []
+        b = self.config.code_bucket
+        while True:
+            buckets.append(b)
+            if b >= max_codes:
+                break
+            b *= 2
+        for T in buckets:
+            codes = jnp.zeros((T,), jnp.int32)
+            n_real = jnp.asarray(min(T, max_codes), jnp.int32)
+            lm, ph = codec_decode_spec(self.codec_params, codes, emb, cfgc,
+                                       n_real=n_real)
+            audio = spec_to_audio_bucketed(
+                lm, ph, self.codec_params["istft_cos_basis"],
+                self.codec_params["istft_sin_basis"],
+                self.codec_params["istft_hann"],
+                cfgc.hop_length, cfgc.total_upsample, n_real)
+            audio.block_until_ready()
+        if self.llm_params is not None:
+            cfg = self.llm_cfg
+            dtype = (jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
+                     else jnp.float32)
+            bucket_p = _round_up(prompt_len, self.config.prompt_bucket)
+            cache = init_kv_cache(cfg, 1, self.config.n_ctx, dtype=dtype)
+            toks = jnp.zeros((1, bucket_p), jnp.int32)
+            last, cache = llm_prefill(self.llm_params, toks,
+                                      jnp.asarray([8], jnp.int32), cache, cfg)
+            stop_ids = jnp.asarray([-1, -1], jnp.int32)
+            for chunk in {self.config.stream_check_interval, 64}:
+                out = llm_generate_chunk(
+                    self.llm_params, last, cache, jax.random.PRNGKey(0),
+                    jnp.float32(1.0), stop_ids, cfg, chunk)
+                out[0].block_until_ready()
 
     # ------------------------------------------------------------------
     # LLM: speech-token generation
@@ -228,26 +283,25 @@ class TTSEngine:
         T = len(codes)
         if T == 0:
             return np.zeros(0, np.float32)
-        bucket = _round_up(T, self.config.code_bucket)
+        bucket = _bucket_len(T, self.config.code_bucket)
         padded = np.zeros(bucket, np.int32)
         padded[:T] = codes
         emb = jnp.asarray(voice.embedding, jnp.float32)
         cfg = self.codec_cfg
 
+        n_real = jnp.asarray(T, jnp.int32)
         t0 = time.perf_counter()
         log_mag, phase = codec_decode_spec(
-            self.codec_params, jnp.asarray(padded), emb, cfg,
-            n_real=jnp.asarray(T, jnp.int32))
+            self.codec_params, jnp.asarray(padded), emb, cfg, n_real=n_real)
         log_mag.block_until_ready()
         t1 = time.perf_counter()
 
-        S_final = log_mag.shape[0]
-        frame_mask = (jnp.arange(S_final) < T * cfg.total_upsample).astype(jnp.float32)
-        audio = spec_to_audio(log_mag, phase,
-                              self.codec_params["istft_cos_basis"],
-                              self.codec_params["istft_sin_basis"],
-                              self.codec_params["istft_hann"],
-                              cfg.hop_length, frame_mask)
+        audio = spec_to_audio_bucketed(
+            log_mag, phase,
+            self.codec_params["istft_cos_basis"],
+            self.codec_params["istft_sin_basis"],
+            self.codec_params["istft_hann"],
+            cfg.hop_length, cfg.total_upsample, n_real)
         audio = np.asarray(audio)[: T * cfg.samples_per_token]
         t2 = time.perf_counter()
         if profile:
