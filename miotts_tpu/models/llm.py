@@ -184,10 +184,24 @@ def _rope(x, pos, theta, style):
 
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int | None = None,
-                  dtype=jnp.bfloat16) -> dict:
-    """Dense KV cache: k/v [L, B, S, H_kv, D] + fill counts [B]."""
+                  dtype=jnp.bfloat16, quantized: bool = False) -> dict:
+    """Dense KV cache: k/v [L, B, S, H_kv, D] + fill counts [B].
+
+    With `quantized`, k/v are stored int8 with per-(token, head) f32 scales —
+    an extension over the reference, which always keeps f16 KV
+    (`test-to-speech.cpp` never sets type_k/type_v; SURVEY.md §2.2).  Halves
+    (vs bf16) KV HBM traffic, the decode-attention bottleneck at depth."""
     S = max_len or cfg.n_ctx
     shape = (cfg.n_layers, batch, S, cfg.n_kv_heads, cfg.head_dim)
+    if quantized:
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+            "fill": jnp.zeros((batch,), jnp.int32),
+        }
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -195,17 +209,30 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int | None = None,
     }
 
 
-def _attend(q, k_cache, v_cache, fill, q_pos):
+def _kv_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(.., head) symmetric int8: x [B, S, H, D] -> (int8, scale [B,S,H])."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None):
     """Causal attention against the cache.
     q: [B, S_q, H, D]; k/v_cache: [B, S_max, H_kv, D]; fill: [B] number of
     valid cache entries (AFTER writing the current tokens); q_pos: [B, S_q]
-    absolute positions of the queries."""
+    absolute positions of the queries.  k_scale/v_scale [B, S_max, H_kv]
+    dequantize an int8 cache in-kernel."""
     B, S_q, H, D = q.shape
     H_kv = k_cache.shape[2]
     rep = H // H_kv
     qf = q.astype(jnp.float32)
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale[..., None]
+    if v_scale is not None:
+        vf = vf * v_scale[..., None]
     qg = qf.reshape(B, S_q, H_kv, rep, D)
     scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg, kf,
                         preferred_element_type=jnp.float32) / np.sqrt(D)
@@ -221,12 +248,13 @@ def _attend(q, k_cache, v_cache, fill, q_pos):
     return out.reshape(B, S_q, H * D)
 
 
-def _block_forward(x, blk, cache_k, cache_v, fill, pos, cfg: LLMConfig):
-    """One transformer block.  x: [B, S, dim]; cache_k/v: [B, S_max, H_kv, D]
-    (this layer's slice); pos: [B, S] absolute positions.  Returns
-    (x, new_cache_k, new_cache_v)."""
+def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
+    """One transformer block.  x: [B, S, dim]; lcache: this layer's cache
+    slices {k, v[, k_scale, v_scale]} with k/v [B, S_max, H_kv, D]; pos:
+    [B, S] absolute positions.  Returns (x, new_lcache)."""
     B, S, _ = x.shape
     H, H_kv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    quantized = "k_scale" in lcache
 
     h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
     q = qdot(h, blk["wq"])
@@ -247,18 +275,28 @@ def _block_forward(x, blk, cache_k, cache_v, fill, pos, cfg: LLMConfig):
 
     # Scatter k/v into the cache at their absolute positions.
     b_idx = jnp.arange(B)[:, None] + jnp.zeros_like(pos)
-    cache_k = cache_k.at[b_idx, pos].set(k.astype(cache_k.dtype))
-    cache_v = cache_v.at[b_idx, pos].set(v.astype(cache_v.dtype))
+    lcache = dict(lcache)
+    if quantized:
+        kq, ks = _kv_quantize(k.astype(jnp.float32))
+        vq, vs = _kv_quantize(v.astype(jnp.float32))
+        lcache["k"] = lcache["k"].at[b_idx, pos].set(kq)
+        lcache["v"] = lcache["v"].at[b_idx, pos].set(vq)
+        lcache["k_scale"] = lcache["k_scale"].at[b_idx, pos].set(ks)
+        lcache["v_scale"] = lcache["v_scale"].at[b_idx, pos].set(vs)
+    else:
+        lcache["k"] = lcache["k"].at[b_idx, pos].set(k.astype(lcache["k"].dtype))
+        lcache["v"] = lcache["v"].at[b_idx, pos].set(v.astype(lcache["v"].dtype))
     new_fill = jnp.maximum(fill, pos[:, -1] + 1)
 
-    attn = _attend(q, cache_k, cache_v, new_fill, pos)
+    attn = _attend(q, lcache["k"], lcache["v"], new_fill, pos,
+                   lcache.get("k_scale"), lcache.get("v_scale"))
     x = x + qdot(attn.astype(x.dtype), blk["wo"])
 
     h = _rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
     gate = jax.nn.silu(qdot(h, blk["w_gate"]))
     up = qdot(h, blk["w_up"])
     x = x + qdot((gate * up).astype(x.dtype), blk["w_down"])
-    return x, cache_k, cache_v
+    return x, lcache
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -273,14 +311,16 @@ def llm_forward(params: dict, tokens: jax.Array, pos: jax.Array,
     see `llm_prefill`."""
     x = params["token_embd"][tokens]  # [B, S, dim]
 
+    layer_cache = {k: v for k, v in cache.items() if k != "fill"}
+
     def layer(carry, inputs):
         x = carry
-        blk, ck, cv = inputs
-        x, ck, cv = _block_forward(x, blk, ck, cv, cache["fill"], pos, cfg)
-        return x, (ck, cv)
+        blk, lcache = inputs
+        x, lcache = _block_forward(x, blk, lcache, cache["fill"], pos, cfg)
+        return x, lcache
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (params["blocks"], cache["k"], cache["v"]))
+    x, new_layer_cache = jax.lax.scan(
+        layer, x, (params["blocks"], layer_cache))
     new_fill = jnp.maximum(cache["fill"], pos[:, -1] + 1)
 
     x = _rms_norm(x, params["output_norm"], cfg.rms_eps)
@@ -291,7 +331,8 @@ def llm_forward(params: dict, tokens: jax.Array, pos: jax.Array,
             preferred_element_type=jnp.float32)
     else:
         logits = qdot(x, out_w)
-    return logits.astype(jnp.float32), {"k": new_k, "v": new_v, "fill": new_fill}
+    new_cache = dict(new_layer_cache, fill=new_fill)
+    return logits.astype(jnp.float32), new_cache
 
 
 def llm_prefill(params, tokens, n_real, cache, cfg: LLMConfig):

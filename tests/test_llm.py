@@ -203,3 +203,29 @@ def test_hf_qwen2_parity(tmp_path, rng):
     ours, _ = llm_forward(params, jnp.asarray(toks, jnp.int32), pos,
                           init_kv_cache(cfg, 1, 16, dtype=jnp.float32), cfg)
     np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_int8_kv_cache_matches_f32(tmp_path, rng):
+    """int8-quantized KV cache: decode logits stay close to the f32 cache
+    (north-star extension; the reference always uses f16 KV)."""
+    params, cfg, r = _build(tmp_path)
+    r.close()
+    B, n = 2, 6
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (B, n)), jnp.int32)
+    nr = jnp.full((B,), n, jnp.int32)
+
+    c_f = init_kv_cache(cfg, B, 32, dtype=jnp.float32)
+    last_f, c_f = llm_prefill(params, toks, nr, c_f, cfg)
+    c_q = init_kv_cache(cfg, B, 32, quantized=True)
+    assert c_q["k"].dtype == jnp.int8
+    last_q, c_q = llm_prefill(params, toks, nr, c_q, cfg)
+
+    a, b = np.asarray(last_f), np.asarray(last_q)
+    denom = np.abs(a).max() + 1e-6
+    assert np.abs(a - b).max() / denom < 0.02
+
+    nt = jnp.asarray(rng.integers(0, cfg.n_vocab, B), jnp.int32)
+    s_f, _ = llm_decode_step(params, nt, c_f, cfg)
+    s_q, _ = llm_decode_step(params, nt, c_q, cfg)
+    a, b = np.asarray(s_f), np.asarray(s_q)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-6) < 0.02
