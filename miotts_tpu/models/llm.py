@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf.quants import is_quantized, to_group_quant
-from ..ops.qmat import QTensor, qdot
+from ..ops.qmat import QTensor, concat_qtensors, qdot
 
 
 # Per-arch behavior toggles (llama.cpp build_* graph equivalents).
@@ -108,11 +108,15 @@ def _load_matrix(reader, name: str, dtype) -> Any:
 
 
 def load_llm_params(reader, cfg: LLMConfig | None = None,
-                    dtype=jnp.bfloat16) -> tuple[dict, "LLMConfig"]:
+                    dtype=jnp.bfloat16, fuse: bool = True) -> tuple[dict, "LLMConfig"]:
     """Load LLM weights from GGUF.  llama.cpp tensor naming:
     token_embd.weight, blk.{i}.{attn_norm,attn_q,attn_k,attn_v,attn_output,
     attn_q_norm,attn_k_norm,ffn_norm,ffn_gate,ffn_up,ffn_down}.weight,
-    output_norm.weight, output.weight (absent when tied)."""
+    output_norm.weight, output.weight (absent when tied).
+
+    With `fuse` (default), q/k/v and gate/up projections are concatenated
+    into single matmuls at load — 7 -> 4 weight matmuls per layer in the
+    decode hot loop."""
     if cfg is None:
         cfg = LLMConfig.from_gguf(reader)
 
@@ -148,6 +152,20 @@ def load_llm_params(reader, cfg: LLMConfig | None = None,
         if cfg.qk_norm:
             blk["q_norm"] = vec(p + "attn_q_norm.weight")
             blk["k_norm"] = vec(p + "attn_k_norm.weight")
+        if fuse:
+            same_q = all(isinstance(blk[k], QTensor) for k in ("wq", "wk", "wv")) or \
+                all(isinstance(blk[k], jax.Array) for k in ("wq", "wk", "wv"))
+            if same_q:
+                blk["wqkv"] = concat_qtensors([blk.pop("wq"), blk.pop("wk"),
+                                               blk.pop("wv")])
+                if cfg.qkv_bias:
+                    blk["bqkv"] = jnp.concatenate(
+                        [blk.pop("bq"), blk.pop("bk"), blk.pop("bv")])
+            same_f = all(isinstance(blk[k], QTensor) for k in ("w_gate", "w_up")) or \
+                all(isinstance(blk[k], jax.Array) for k in ("w_gate", "w_up"))
+            if same_f:
+                blk["w_gateup"] = concat_qtensors([blk.pop("w_gate"),
+                                                   blk.pop("w_up")])
         blocks.append(blk)
     # Stack layer weights for lax.scan (QTensor is a pytree, stacks fine).
     params["blocks"] = jax.tree_util.tree_map(
@@ -257,13 +275,22 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
     quantized = "k_scale" in lcache
 
     h = _rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-    q = qdot(h, blk["wq"])
-    k = qdot(h, blk["wk"])
-    v = qdot(h, blk["wv"])
-    if cfg.qkv_bias:
-        q = q + blk["bq"].astype(q.dtype)
-        k = k + blk["bk"].astype(k.dtype)
-        v = v + blk["bv"].astype(v.dtype)
+    qd_, kvd = H * D, H_kv * D
+    if "wqkv" in blk:
+        qkv = qdot(h, blk["wqkv"])
+        if cfg.qkv_bias:
+            qkv = qkv + blk["bqkv"].astype(qkv.dtype)
+        q = qkv[..., :qd_]
+        k = qkv[..., qd_:qd_ + kvd]
+        v = qkv[..., qd_ + kvd:]
+    else:
+        q = qdot(h, blk["wq"])
+        k = qdot(h, blk["wk"])
+        v = qdot(h, blk["wv"])
+        if cfg.qkv_bias:
+            q = q + blk["bq"].astype(q.dtype)
+            k = k + blk["bk"].astype(k.dtype)
+            v = v + blk["bv"].astype(v.dtype)
     q = q.reshape(B, S, H, D)
     k = k.reshape(B, S, H_kv, D)
     v = v.reshape(B, S, H_kv, D)
@@ -293,8 +320,13 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
     x = x + qdot(attn.astype(x.dtype), blk["wo"])
 
     h = _rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
-    gate = jax.nn.silu(qdot(h, blk["w_gate"]))
-    up = qdot(h, blk["w_up"])
+    if "w_gateup" in blk:
+        gu = qdot(h, blk["w_gateup"])
+        gate = jax.nn.silu(gu[..., : cfg.ff_dim])
+        up = gu[..., cfg.ff_dim:]
+    else:
+        gate = jax.nn.silu(qdot(h, blk["w_gate"]))
+        up = qdot(h, blk["w_up"])
     x = x + qdot((gate * up).astype(x.dtype), blk["w_down"])
     return x, lcache
 

@@ -209,6 +209,38 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
 # Public API
 # ---------------------------------------------------------------------------
 
+def concat_qtensors(tensors: list) -> "QTensor | jax.Array":
+    """Concatenate weights along the OUTPUT dim (for QKV / gate+up fusion).
+
+    Works for both dense [N, K] arrays and QTensors of identical group/K;
+    cuts kernel launches in the decode hot loop.  Any padding on the inputs
+    is stripped first so split points in the fused output are exact."""
+    if all(isinstance(t, jax.Array) for t in tensors):
+        return jnp.concatenate(tensors, axis=0)
+    assert all(isinstance(t, QTensor) for t in tensors), "mixed dense/quant fusion"
+    g = tensors[0].group
+    assert all(t.group == g for t in tensors)
+    has_mins = tensors[0].mins is not None
+    assert all((t.mins is not None) == has_mins for t in tensors)
+
+    def unpad(a, t):
+        n = t.n_out if t.n_out > 0 else a.shape[1]
+        return a[:, :n]
+
+    values = jnp.concatenate([unpad(t.values, t) for t in tensors], axis=1)
+    scales = jnp.concatenate([unpad(t.scales, t) for t in tensors], axis=1)
+    mins = (jnp.concatenate([unpad(t.mins, t) for t in tensors], axis=1)
+            if has_mins else None)
+    n = values.shape[1]
+    n_pad = (-n) % 128
+    if n_pad:
+        values = jnp.pad(values, ((0, 0), (0, n_pad)))
+        scales = jnp.pad(scales, ((0, 0), (0, n_pad)))
+        if mins is not None:
+            mins = jnp.pad(mins, ((0, 0), (0, n_pad)))
+    return QTensor(values=values, scales=scales, mins=mins, group=g, n_out=n)
+
+
 def qdot(x: jax.Array, w) -> jax.Array:
     """x [..., K] @ W^T -> [..., N] for W either a dense [N, K] array (GGUF
     Linear layout) or a QTensor.  The single matmul entry point for all LLM

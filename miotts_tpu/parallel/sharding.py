@@ -31,6 +31,12 @@ from ..ops.qmat import QTensor
 # stacking; dim 0 = layer stays unsharded).
 _BLOCK_SPECS = {
     "attn_norm": P(None, None),
+    # Fused QKV / gate+up: the concatenated output dim mixes head groups, so
+    # shard the CONTRACTION dim instead (row-parallel; GSPMD inserts the
+    # psum on the partial products).
+    "wqkv": P(None, None, "model"),
+    "bqkv": P(None, None),
+    "w_gateup": P(None, None, "model"),
     "wq": P(None, "model", None),
     "wk": P(None, "model", None),
     "wv": P(None, "model", None),
