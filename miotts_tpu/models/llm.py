@@ -393,6 +393,78 @@ def llm_decode_step(params, token, cache, cfg: LLMConfig):
 # Sampling (`llama_sampler_init_temp` + `_dist`, test-to-speech.cpp:127-130)
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("cfg",))
+def llm_prefill_slot(params: dict, tokens: jax.Array, n_real: jax.Array,
+                     cache: dict, slot: jax.Array, cfg: LLMConfig):
+    """Prefill ONE sequence into slot `slot` of a batched cache.
+
+    The continuous-batching scheduler admits new utterances into freed slots
+    without touching the other sequences (the reference has no cross-request
+    state at all — one llama_context per call, SURVEY.md §2.3).
+
+    tokens: [1, S_bucket]; n_real: scalar; slot: scalar i32.
+    Returns (last_logits [1, V], cache)."""
+    B = cache["fill"].shape[0]
+
+    def take(leaf):  # [L, B, ...] -> [L, 1, ...]
+        return jax.lax.dynamic_slice_in_dim(leaf, slot, 1, axis=1)
+
+    sub = {k: take(v) for k, v in cache.items() if k != "fill"}
+    sub["fill"] = jnp.zeros((1,), jnp.int32)
+    S = tokens.shape[1]
+    pos = jnp.broadcast_to(jnp.arange(S), (1, S))
+    logits, sub = llm_forward(params, tokens, pos, sub, cfg)
+
+    def put(dst, src):
+        return jax.lax.dynamic_update_slice_in_dim(dst, src, slot, axis=1)
+
+    new_cache = {k: put(cache[k], sub[k]) for k in cache if k != "fill"}
+    new_cache["fill"] = cache["fill"].at[slot].set(n_real.astype(jnp.int32))
+    last = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1, axis=1)[:, 0]
+    return last, new_cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
+                               cache: dict, active: jax.Array,
+                               key: jax.Array, temperature: jax.Array,
+                               stop_ids: jax.Array, cfg: LLMConfig,
+                               n_steps: int):
+    """Batched on-device generation: up to n_steps tokens for every ACTIVE
+    slot, with per-slot stop detection.  Slots that hit a stop token (or
+    were inactive) record -1 and park their cache writes at the last context
+    position (invisible: fill never covers it until the sequence itself
+    reaches it, at which point it is rewritten).
+
+    last_logits: [B, V]; active: bool [B].
+    Returns (buf [B, n_steps] i32, active [B], last_logits, cache, key)."""
+    B = last_logits.shape[0]
+    buf0 = jnp.full((B, n_steps), -1, jnp.int32)
+
+    def cond(carry):
+        i, active, *_ = carry
+        return jnp.logical_and(i < n_steps, jnp.any(active))
+
+    def body(carry):
+        i, active, last, cache, key = carry[:5]
+        buf = carry[5]
+        key, sub = jax.random.split(key)
+        tok = sample_token(last, temperature, sub)            # [B]
+        is_stop = jnp.any(tok[:, None] == stop_ids[None, :], axis=-1)
+        active = jnp.logical_and(active, jnp.logical_not(is_stop))
+        buf = buf.at[:, i].set(jnp.where(active, tok, -1))
+        fill = cache["fill"]
+        pos = jnp.where(active, fill, cfg.n_ctx - 1)[:, None]
+        logits, cache = llm_forward(params, tok[:, None], pos, cache, cfg)
+        cache = dict(cache, fill=jnp.where(active, fill + 1, fill))
+        return i + 1, active, logits[:, 0], cache, key, buf
+
+    i, active, last, cache, key, buf = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), active, last_logits, cache, key, buf0))
+    return buf, active, last, cache, key
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def llm_generate_chunk(params: dict, last_logits: jax.Array, cache: dict,
                        key: jax.Array, temperature: jax.Array,

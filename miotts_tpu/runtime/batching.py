@@ -1,0 +1,226 @@
+"""Continuous batching: many concurrent utterances through one decode loop.
+
+The reference is strictly one-utterance-at-a-time (one llama_context per
+synthesis call, `test-to-speech.cpp:108,443`; SURVEY.md §2.3).  This module
+supplies the scale-out serving layer from the north star: a slot-based
+scheduler multiplexing concurrent TTS requests over a shared batched KV
+cache — admit into freed slots (per-slot prefill), step all active slots
+together in on-device chunks, stream each request's audio out through the
+same commit-holdback policy as the single-stream engine.
+
+Works on one chip as-is; with a mesh, shard the cache batch dim over 'data'
+and weights over 'model' (parallel/sharding.py) and the same code scales
+out — the scheduler is sharding-agnostic.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llm import (
+    init_kv_cache, llm_generate_chunk_batched, llm_prefill_slot,
+)
+from ..text import build_prompt, normalize_tts_text
+from .engine import Options, TTSEngine, VoiceModel, _bucket_len, _round_up
+from .profile import StreamProfile
+
+
+@dataclass
+class Request:
+    req_id: int
+    text: str
+    voice: VoiceModel
+    callback: Callable[[Optional[np.ndarray], int, bool], bool]
+    options: Options = field(default_factory=Options)
+    # state
+    slot: int = -1
+    codes: list = field(default_factory=list)
+    committed: int = 0
+    tail: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    n_tokens: int = 0
+    done: bool = False
+    failed: bool = False
+    submitted_at: float = 0.0
+    first_audio_at: float = -1.0
+    finished_at: float = 0.0
+    emitted_samples: int = 0
+
+
+class ContinuousBatcher:
+    """Slot scheduler over a shared TTSEngine.
+
+    Usage:
+        batcher = ContinuousBatcher(engine, n_slots=8)
+        batcher.submit(text, voice, callback)
+        while batcher.pending:
+            batcher.step()
+    """
+
+    def __init__(self, engine: TTSEngine, n_slots: int = 8,
+                 chunk_steps: int = 20, quantized_kv: bool = False):
+        assert engine.llm_params is not None, "batching needs the LLM"
+        self.engine = engine
+        self.cfg = engine.llm_cfg
+        self.n_slots = n_slots
+        self.chunk_steps = chunk_steps
+        dtype = (jnp.bfloat16 if engine.config.llm_dtype == "bfloat16"
+                 else jnp.float32)
+        self.cache = init_kv_cache(self.cfg, n_slots, engine.config.n_ctx,
+                                   dtype=dtype, quantized=quantized_kv)
+        self.last_logits = jnp.zeros((n_slots, self.cfg.n_vocab), jnp.float32)
+        self.active = np.zeros(n_slots, bool)
+        self.slot_req: list[Optional[Request]] = [None] * n_slots
+        self.waiting: deque[Request] = deque()
+        self._next_id = 0
+        self._key = jax.random.PRNGKey(engine.config.seed)
+        self._stop_ids = jnp.asarray(
+            [engine._eos_id, engine._im_end_id], jnp.int32)
+        self._table = engine.code_table
+        self._temp = jnp.float32(engine.config.temperature)
+
+    # ------------------------------------------------------------------
+    @property
+    def pending(self) -> int:
+        return len(self.waiting) + int(np.sum(self.active))
+
+    def submit(self, text: str, voice: VoiceModel,
+               callback, options: Options = Options()) -> int:
+        req = Request(req_id=self._next_id, text=text, voice=voice,
+                      callback=callback, options=options,
+                      submitted_at=time.perf_counter())
+        self._next_id += 1
+        self.waiting.append(req)
+        return req.req_id
+
+    # ------------------------------------------------------------------
+    def _admit(self) -> None:
+        """Fill free slots with waiting requests (prefill)."""
+        eng = self.engine
+        for slot in range(self.n_slots):
+            if self.active[slot] or not self.waiting:
+                continue
+            req = self.waiting.popleft()
+            prompt = build_prompt(normalize_tts_text(req.text))
+            ids = eng.tokenizer.encode(prompt)
+            n = len(ids)
+            max_tok = (req.options.max_tokens if req.options.max_tokens > 0
+                       else eng.config.max_tokens)
+            if n + max_tok > eng.config.n_ctx:
+                max_tok = max(0, eng.config.n_ctx - n)
+            req._max_tokens = max_tok
+            bucket = _round_up(n, eng.config.prompt_bucket)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :n] = ids
+            last, self.cache = llm_prefill_slot(
+                eng.llm_params, jnp.asarray(toks), jnp.asarray(n, jnp.int32),
+                self.cache, jnp.asarray(slot, jnp.int32), self.cfg)
+            self.last_logits = self.last_logits.at[slot].set(last[0])
+            self.active[slot] = True
+            self.slot_req[slot] = req
+            req.slot = slot
+
+    def _finish(self, req: Request, ok: bool) -> None:
+        req.done = True
+        req.failed = not ok
+        req.finished_at = time.perf_counter()
+        slot = req.slot
+        self.active[slot] = False
+        self.slot_req[slot] = None
+
+    def _emit(self, req: Request, is_final: bool) -> bool:
+        """Per-request commit-holdback emission — identical policy to the
+        single-stream engine (test-to-speech.cpp:507-571)."""
+        eng = self.engine
+        cfgE = eng.config
+        if not req.codes:
+            return not is_final
+        target = (len(req.codes) if is_final
+                  else max(len(req.codes) - cfgE.holdback_codes, 0))
+        if target <= req.committed:
+            if is_final:
+                return req.callback(None, eng.sample_rate, True)
+            return True
+        if not is_final and (target - req.committed) < cfgE.min_commit_step_codes:
+            return True
+        audio = eng.decode_codes(req.codes, req.voice,
+                                 apply_peak_normalization=False)
+        spc = len(audio) / len(req.codes)
+        begin = int(round(req.committed * spc))
+        end = min(int(round(target * spc)), len(audio))
+        if begin >= end:
+            if is_final:
+                return req.callback(None, eng.sample_rate, True)
+            return True
+        req.committed = target
+        # chunked emission with ~30 ms crossfade against the previous tail
+        sr = eng.sample_rate
+        crossfade = min(sr * 3 // 100, 4096)
+        i, first = begin, True
+        while i < end:
+            n = min(cfgE.chunk_samples, end - i)
+            chunk = audio[i:i + n].copy()
+            if first and req.tail.size:
+                xf = min(req.tail.size, chunk.size)
+                a = (np.arange(xf, dtype=np.float32) + 1.0) / (xf + 1.0)
+                chunk[:xf] = (1.0 - a) * req.tail[:xf] + a * chunk[:xf]
+            req.tail = chunk[-crossfade:].copy() if n >= crossfade else chunk.copy()
+            last_chunk = is_final and (i + n >= end)
+            if req.first_audio_at < 0:
+                req.first_audio_at = time.perf_counter()
+            if not req.callback(chunk, sr, last_chunk):
+                return False
+            req.emitted_samples += n
+            i += n
+            first = False
+        return True
+
+    # ------------------------------------------------------------------
+    def step(self) -> None:
+        """One scheduler iteration: admit -> batched decode chunk ->
+        distribute tokens -> emit/finish."""
+        self._admit()
+        if not np.any(self.active):
+            return
+
+        self._key, key = jax.random.split(self._key)
+        buf, active_dev, self.last_logits, self.cache, _ = \
+            llm_generate_chunk_batched(
+                self.engine.llm_params, self.last_logits, self.cache,
+                jnp.asarray(self.active), key, self._temp, self._stop_ids,
+                self.cfg, self.chunk_steps)
+        buf = np.asarray(buf)
+        still_active = np.asarray(active_dev)
+
+        table = self._table
+        for slot in range(self.n_slots):
+            if not self.active[slot]:
+                continue
+            req = self.slot_req[slot]
+            toks = buf[slot]
+            toks = toks[toks >= 0]
+            for tid in toks:
+                req.n_tokens += 1
+                code = table[tid] if 0 <= tid < len(table) else -1
+                if code >= 0:
+                    req.codes.append(int(code))
+            hit_stop = not still_active[slot]
+            out_of_budget = req.n_tokens >= getattr(req, "_max_tokens", 10 ** 9)
+            if hit_stop or out_of_budget:
+                ok = self._emit(req, True)
+                self._finish(req, ok)
+            else:
+                if not self._emit(req, False):
+                    self._finish(req, False)
+
+    def run_until_done(self, max_iters: int = 10 ** 6) -> None:
+        it = 0
+        while self.pending and it < max_iters:
+            self.step()
+            it += 1
