@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..gguf.quants import is_quantized, to_group_quant
-from ..ops.qmat import QTensor, concat_qtensors, qdot
+from ..gguf.quants import is_quantized
+from ..ops.qmat import QTensor, concat_qtensors, qdot, qtensor_from_raw
 
 
 # Per-arch behavior toggles (llama.cpp build_* graph equivalents).
@@ -102,8 +102,8 @@ def _load_matrix(reader, name: str, dtype) -> Any:
     info = reader.tensors[name]
     if is_quantized(info.ggml_type):
         rows, cols = info.shape  # numpy order [out, in]
-        gq = to_group_quant(reader.tensor_raw(name), info.ggml_type, rows, cols)
-        return QTensor.from_group_quant(gq)
+        return qtensor_from_raw(reader.tensor_raw(name), info.ggml_type,
+                                rows, cols)
     return jnp.asarray(reader.tensor_f32(name), dtype)
 
 

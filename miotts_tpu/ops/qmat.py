@@ -209,6 +209,42 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
 # Public API
 # ---------------------------------------------------------------------------
 
+def qtensor_from_raw(raw: np.ndarray, ggml_type: int, rows: int, cols: int,
+                     scale_dtype=jnp.float32) -> QTensor:
+    """Raw GGUF blocks -> device QTensor, preferring the native C++ repack
+    (native/miotts_native.cpp) which writes the transposed planar layout
+    directly; falls back to the numpy reference path."""
+    from ..gguf import native as _native
+    from ..gguf.reader import GGML_Q4_K, GGML_Q6_K, GGML_Q8_0
+    from ..gguf.quants import to_group_quant
+
+    def finish(values_t, scales_t, mins_t, group):
+        n_pad = (-rows) % 128
+        if n_pad:
+            values_t = np.pad(values_t, ((0, 0), (0, n_pad)))
+            scales_t = np.pad(scales_t, ((0, 0), (0, n_pad)))
+            if mins_t is not None:
+                mins_t = np.pad(mins_t, ((0, 0), (0, n_pad)))
+        return QTensor(
+            values=jnp.asarray(values_t),
+            scales=jnp.asarray(scales_t, scale_dtype),
+            mins=None if mins_t is None else jnp.asarray(mins_t, scale_dtype),
+            group=group, n_out=rows)
+
+    if _native.available():
+        if ggml_type == GGML_Q8_0:
+            v, s = _native.repack_q8_0_t(raw, rows, cols)
+            return finish(v, s, None, 32)
+        if ggml_type == GGML_Q6_K:
+            v, s = _native.repack_q6_k_t(raw, rows, cols)
+            return finish(v, s, None, 16)
+        if ggml_type == GGML_Q4_K:
+            v, s, m = _native.repack_q4_k_t(raw, rows, cols)
+            return finish(v, s, m, 32)
+    return QTensor.from_group_quant(to_group_quant(raw, ggml_type, rows, cols),
+                                    scale_dtype)
+
+
 def concat_qtensors(tensors: list) -> "QTensor | jax.Array":
     """Concatenate weights along the OUTPUT dim (for QKV / gate+up fusion).
 
