@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Continuous-batching serving benchmark: N concurrent streams, one chip.
+
+Measures the north-star serving shape (BASELINE.json config 5 scaled to the
+available hardware): aggregate audio-seconds per wall-second and per-stream
+realtime ratios across concurrent utterances multiplexed through the batched
+decode loop.
+
+Usage: python benchmarks/bench_batch.py [n_streams] [max_tokens]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+
+def main() -> int:
+    n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    max_tokens = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    n_slots = min(n_streams, int(os.environ.get("MIOTTS_BENCH_SLOTS", "8")))
+
+    from bench import ensure_models  # reuse the cached synthetic models
+    llm_path, codec_path, emb_path = ensure_models()
+
+    from miotts_tpu.runtime.batching import ContinuousBatcher
+    from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
+
+    engine = TTSEngine(EngineConfig(
+        model_path=llm_path, codec_path=codec_path, max_tokens=max_tokens))
+    voice = VoiceModel(emb_path)
+    print(f"bench_batch: warming up (slots={n_slots})...", file=sys.stderr, flush=True)
+    engine.warmup(max_codes=max_tokens, prompt_len=80)
+
+    def run_once(tag: str):
+        batcher = ContinuousBatcher(engine, n_slots=n_slots, chunk_steps=20)
+        stats = {}
+
+        def make_cb(i):
+            stats[i] = {"samples": 0, "done_at": None}
+
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    stats[i]["samples"] += len(samples)
+                if is_last:
+                    stats[i]["done_at"] = time.perf_counter()
+                return True
+            return cb
+
+        t0 = time.perf_counter()
+        for i in range(n_streams):
+            batcher.submit(f"concurrent utterance number {i} for serving",
+                           voice, make_cb(i),
+                           Options(max_tokens=max_tokens, temperature=0.8,
+                                   seed=100 + i))
+        batcher.run_until_done(max_iters=5000)
+        wall = time.perf_counter() - t0
+        total_audio = sum(s["samples"] for s in stats.values()) / engine.sample_rate
+        agg = total_audio / wall if wall > 0 else 0.0
+        per_stream = agg / n_streams
+        print(f"bench_batch[{tag}]: streams={n_streams} wall={wall:.2f}s "
+              f"audio={total_audio:.2f}s aggregate={agg:.2f}x "
+              f"per_stream={per_stream:.2f}x", file=sys.stderr, flush=True)
+        return wall, total_audio, agg, per_stream
+
+    run_once("warm")                    # absorbs first-execution stalls
+    wall, total_audio, agg, per_stream = run_once("timed")
+
+    print(json.dumps({
+        "metric": "batch_bench.aggregate_x_realtime",
+        "value": round(agg, 4),
+        "unit": f"audio_sec/wall_sec@{n_streams}streams",
+        "vs_baseline": round(per_stream, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -393,7 +393,7 @@ def llm_decode_step(params, token, cache, cfg: LLMConfig):
 # Sampling (`llama_sampler_init_temp` + `_dist`, test-to-speech.cpp:127-130)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def llm_prefill_slot(params: dict, tokens: jax.Array, n_real: jax.Array,
                      cache: dict, slot: jax.Array, cfg: LLMConfig):
     """Prefill ONE sequence into slot `slot` of a batched cache.
@@ -424,7 +424,7 @@ def llm_prefill_slot(params: dict, tokens: jax.Array, n_real: jax.Array,
     return last, new_cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache",))
 def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
                                cache: dict, active: jax.Array,
                                key: jax.Array, temperature: jax.Array,
@@ -465,7 +465,7 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
     return buf, active, last, cache, key
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache",))
 def llm_generate_chunk(params: dict, last_logits: jax.Array, cache: dict,
                        key: jax.Array, temperature: jax.Array,
                        stop_ids: jax.Array, cfg: LLMConfig, n_steps: int):

@@ -130,6 +130,10 @@ class TTSEngine:
         codec_reader.close()
         self.sample_rate = self.codec_cfg.sample_rate
         self.samples_per_token = self.codec_cfg.samples_per_token
+        # Persistent single-stream KV cache (the reference allocates a fresh
+        # llama_context per request, test-to-speech.cpp:108; we reuse one
+        # donated buffer and just reset the fill count).
+        self._cache = None
 
     @property
     def is_ready(self) -> bool:
@@ -174,11 +178,22 @@ class TTSEngine:
             last, cache = llm_prefill(self.llm_params, toks,
                                       jnp.asarray([8], jnp.int32), cache, cfg)
             stop_ids = jnp.asarray([-1, -1], jnp.int32)
-            for chunk in {self.config.stream_check_interval, 64}:
-                out = llm_generate_chunk(
+            # Interleave chunk and codec executions like a real stream does:
+            # alternating programs exercises the device's program switching
+            # path too, not just each executable in isolation.
+            emb_w = jnp.zeros((cfgc.adaln_dim,), jnp.float32)
+            for chunk in sorted({self.config.stream_check_interval, 64}):
+                # cache is donated through the chunk call; rethread it
+                buf, _, _, last, cache, _ = llm_generate_chunk(
                     self.llm_params, last, cache, jax.random.PRNGKey(0),
                     jnp.float32(1.0), stop_ids, cfg, chunk)
-                out[0].block_until_ready()
+                buf.block_until_ready()
+                codes_w = jnp.zeros((self.config.code_bucket,), jnp.int32)
+                lm, ph = codec_decode_spec(
+                    self.codec_params, codes_w, emb_w, cfgc,
+                    n_real=jnp.asarray(1, jnp.int32))
+                lm.block_until_ready()
+            self._cache = cache
 
     # ------------------------------------------------------------------
     # LLM: speech-token generation
@@ -212,9 +227,12 @@ class TTSEngine:
         toks[0, :n] = ids
 
         t0 = time.perf_counter()
-        cache = init_kv_cache(cfg, 1, self.config.n_ctx,
-                              dtype=jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
-                              else jnp.float32)
+        if self._cache is None:
+            self._cache = init_kv_cache(
+                cfg, 1, self.config.n_ctx,
+                dtype=jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
+                else jnp.float32)
+        cache = dict(self._cache, fill=jnp.zeros((1,), jnp.int32))
         last, cache = llm_prefill(self.llm_params, jnp.asarray(toks),
                                   jnp.asarray([n], jnp.int32), cache, cfg)
         last.block_until_ready()
@@ -251,7 +269,9 @@ class TTSEngine:
                 if profile:
                     profile.llm_tokens = n_gen
                 if on_token is not None and not on_token(tid, n_gen):
+                    self._cache = cache
                     return generated
+        self._cache = cache
         return generated
 
     def generate_token_text(self, text: str, options: Options = Options()) -> str:
