@@ -78,6 +78,27 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Real-time streaming to a PCM sink through the bounded queue
+    (`examples/stream-to-device.cpp` equivalent; the audio device is
+    replaced by an s16le PCM stream suitable for `aplay -f S16_LE -r 44100`
+    or network serving)."""
+    from .runtime.playback import stream_to_sink
+    engine = _make_engine(args)
+    voice = _load_voice(args)
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    try:
+        ok = stream_to_sink(engine, voice, args.prompt, out=out,
+                            options=_make_options(args),
+                            chunk_samples=args.chunk_samples,
+                            queue_seconds=args.queue_seconds,
+                            dump_fed_path=args.dump_fed_wav or None)
+    finally:
+        if out is not sys.stdout.buffer:
+            out.close()
+    return 0 if ok else 1
+
+
 def cmd_bench(args) -> int:
     """Streaming benchmark with a no-op callback
     (`examples/stream-benchmark.cpp:86-167` metric contract)."""
@@ -176,6 +197,16 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", default="output.wav")
     p.add_argument("--dump-tensors", action="store_true")
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("stream", help="stream PCM to a sink (stdout/file)")
+    _add_model_args(p)
+    p.add_argument("-o", "--output", default="-",
+                   help="PCM sink: '-' for stdout, else file path")
+    p.add_argument("--chunk-samples", type=int, default=4096)
+    p.add_argument("--queue-seconds", type=float, default=10.0)
+    p.add_argument("--dump-fed-wav", default="",
+                   help="also capture exactly what the sink consumed as WAV")
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("bench", help="streaming benchmark")
     _add_model_args(p)

@@ -314,14 +314,15 @@ def _band_mask_bias(T: int, window: int, mask: jax.Array) -> jax.Array:
 # Forward pass
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
-def codec_decode_spec(params: dict, codes: jax.Array, voice_emb: jax.Array,
-                      cfg: CodecConfig, n_real: jax.Array | None = None):
-    """codes i32[T], voice_emb f32[128] -> (log_mag, phase) [S_final, n_freq].
-
-    `n_real` (scalar i32) marks how many leading codes are real; the rest are
-    bucket padding whose influence is fully masked out.  None means all real.
-    """
+def _codec_forward(params: dict, codes: jax.Array, voice_emb: jax.Array,
+                   cfg: CodecConfig, n_real: jax.Array | None,
+                   tap=None):
+    """Forward body shared by the jitted decode and the eager stage-debug
+    path; `tap(name, x)` records intermediates when given (tools/
+    debug_decoder.py — the counterpart of the reference's
+    debug_decoder_substeps.py workflow, SURVEY.md §4.1)."""
+    if tap is None:
+        tap = lambda name, x: None
     T = codes.shape[0]
     if n_real is None:
         n_real = jnp.array(T, jnp.int32)
@@ -332,6 +333,7 @@ def codec_decode_spec(params: dict, codes: jax.Array, voice_emb: jax.Array,
 
     # ---- 1. token embedding LUT (precomputed FSQ decode) ----
     x = params["token_embd"][codes]                    # [T, 768]
+    tap("token_embd", x)
 
     # ---- 2. wave_prenet ----
     pos_t = jnp.arange(T, dtype=jnp.int32)
@@ -347,11 +349,14 @@ def codec_decode_spec(params: dict, codes: jax.Array, voice_emb: jax.Array,
         return x + h, None
 
     x, _ = jax.lax.scan(prenet_layer, x, params["prenet_blocks"])
+    tap("prenet", x)
     x = _layer_norm(x, params["prenet_norm_w"], params["prenet_norm_b"], eps)
     x = _linear(x, params["prenet_out_w"], params["prenet_out_b"])  # [T, 512]
+    tap("prenet_out", x)
 
     # ---- 3. wave_upsample ConvTranspose1d(512->512, k=2, s=2) ----
     x = _conv_transpose1d(x, params["upsample_w"], params["upsample_b"], 2, mask_t)
+    tap("upsample", x)
     S = 2 * T
     s_real = 2 * n_real
     mask_s = (jnp.arange(S) < s_real).astype(jnp.float32)
@@ -360,6 +365,7 @@ def codec_decode_spec(params: dict, codes: jax.Array, voice_emb: jax.Array,
     def prior_block(x, p):
         return _resnet_block(x, p, cfg.resnet_groups, gn_eps, mask_s), None
     x, _ = jax.lax.scan(prior_block, x, params["prior_blocks"])
+    tap("prior", x)
 
     # ---- 5. wave_decoder AdaLN-Zero transformer ----
     pos_s = jnp.arange(S, dtype=jnp.int32)
@@ -377,16 +383,19 @@ def codec_decode_spec(params: dict, codes: jax.Array, voice_emb: jax.Array,
         return x + h * g, None
 
     x, _ = jax.lax.scan(decoder_layer, x, params["decoder_blocks"])
+    tap("decoder", x)
 
     # ---- 6. final AdaLN norm ----
     nc = _linear(jax.nn.silu(voice_emb), params["norm_cond_w"], params["norm_cond_b"])
     dd = cfg.decoder_dim
     x = _adaln_norm(x, nc[:dd], nc[dd:2 * dd], eps)
+    tap("final_adaln", x)
 
     # ---- 7. wave_post ResNet blocks ----
     def post_block(x, p):
         return _resnet_block(x, p, cfg.resnet_groups, gn_eps, mask_s), None
     x, _ = jax.lax.scan(post_block, x, params["post_blocks"])
+    tap("post", x)
 
     # ---- 8. wave_upsampler stages ----
     cur_real = s_real
@@ -403,17 +412,47 @@ def codec_decode_spec(params: dict, codes: jax.Array, voice_emb: jax.Array,
         cur_mask = (jnp.arange(x.shape[0]) < cur_real).astype(jnp.float32)
         x = _snake(x, p["snake_a"], p["snake_b"])
         x = _resnet_block(x, p["resnet"], cfg.resnet_groups, gn_eps, cur_mask)
+        tap(f"upsampler_{stage}", x)
 
     # out_proj + out_snake (transformer format, `miocodec.cpp:712-725`)
     x = _linear(x, params["upsampler_out_w"], params["upsampler_out_b"])
     x = _snake(x, params["upsampler_out_snake_a"], params["upsampler_out_snake_b"])
+    tap("upsampler_out", x)
 
     # ---- 9. istft_head ----
     x = _linear(x, params["istft_head_w"], params["istft_head_b"])  # [S_final, 394]
     nf = cfg.n_freq
     log_mag = x[:, :nf]
     phase = x[:, nf:2 * nf]
+    tap("log_mag", log_mag)
+    tap("phase", phase)
     return log_mag, phase
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def codec_decode_spec(params: dict, codes: jax.Array, voice_emb: jax.Array,
+                      cfg: CodecConfig, n_real: jax.Array | None = None):
+    """codes i32[T], voice_emb f32[128] -> (log_mag, phase) [S_final, n_freq].
+
+    `n_real` (scalar i32) marks how many leading codes are real; the rest are
+    bucket padding whose influence is fully masked out.  None means all real.
+    """
+    return _codec_forward(params, codes, voice_emb, cfg, n_real)
+
+
+def codec_decode_stages(params: dict, codes, voice_emb, cfg: CodecConfig):
+    """Eager decode recording every stage's activations (debug/parity
+    bisection, the reference's compare_codec.py:87-156 workflow).  Returns
+    (stages OrderedDict[name -> np.ndarray], (log_mag, phase))."""
+    from collections import OrderedDict
+    stages = OrderedDict()
+
+    def tap(name, x):
+        stages[name] = np.asarray(x)
+
+    out = _codec_forward(params, jnp.asarray(codes, jnp.int32),
+                         jnp.asarray(voice_emb, jnp.float32), cfg, None, tap)
+    return stages, out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
