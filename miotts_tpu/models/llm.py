@@ -244,13 +244,18 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None):
     B, S_q, H, D = q.shape
     H_kv = k_cache.shape[2]
     rep = H // H_kv
-    qf = q.astype(jnp.float32)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    # Keep attention inputs in the cache dtype (bf16 in serving): the MXU
+    # accumulates in f32 via preferred_element_type, and avoiding an f32
+    # materialization of the whole cache halves the decode-attention HBM
+    # read — the dominant per-step traffic at depth.
+    cdt = jnp.float32 if k_cache.dtype == jnp.float32 else jnp.bfloat16
+    qf = q.astype(cdt)
+    kf = k_cache.astype(cdt)
+    vf = v_cache.astype(cdt)
     if k_scale is not None:
-        kf = kf * k_scale[..., None]
+        kf = kf * k_scale[..., None].astype(cdt)
     if v_scale is not None:
-        vf = vf * v_scale[..., None]
+        vf = vf * v_scale[..., None].astype(cdt)
     qg = qf.reshape(B, S_q, H_kv, rep, D)
     scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg, kf,
                         preferred_element_type=jnp.float32) / np.sqrt(D)

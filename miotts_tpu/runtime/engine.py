@@ -173,7 +173,10 @@ class TTSEngine:
             dtype = (jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
                      else jnp.float32)
             bucket_p = _round_up(prompt_len, self.config.prompt_bucket)
-            cache = init_kv_cache(cfg, 1, self.config.n_ctx, dtype=dtype)
+            # same cache-size bucket rule as generate_tokens
+            s_cache = min(_bucket_len(bucket_p + self.config.max_tokens + 64, 256),
+                          self.config.n_ctx)
+            cache = init_kv_cache(cfg, 1, s_cache, dtype=dtype)
             toks = jnp.zeros((1, bucket_p), jnp.int32)
             last, cache = llm_prefill(self.llm_params, toks,
                                       jnp.asarray([8], jnp.int32), cache, cfg)
@@ -227,9 +230,15 @@ class TTSEngine:
         toks[0, :n] = ids
 
         t0 = time.perf_counter()
-        if self._cache is None:
+        # Size the cache to a geometric bucket of prompt + budget (capped at
+        # n_ctx): decode attention reads the WHOLE cache length every step,
+        # so a 2048-slot cache for a 200-token utterance would waste ~10x
+        # attention HBM traffic.
+        need = bucket + max_tok + 64
+        s_cache = min(_bucket_len(need, 256), self.config.n_ctx)
+        if self._cache is None or self._cache["k"].shape[2] != s_cache:
             self._cache = init_kv_cache(
-                cfg, 1, self.config.n_ctx,
+                cfg, 1, s_cache,
                 dtype=jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
                 else jnp.float32)
         cache = dict(self._cache, fill=jnp.zeros((1,), jnp.int32))
