@@ -102,7 +102,7 @@ def cmd_stream(args) -> int:
 def cmd_bench(args) -> int:
     """Streaming benchmark with a no-op callback
     (`examples/stream-benchmark.cpp:86-167` metric contract)."""
-    from .runtime.profile import StreamProfile
+    from .runtime.profile import StreamProfile, device_trace
     engine = _make_engine(args)
     voice = _load_voice(args)
     profile = StreamProfile()
@@ -113,9 +113,11 @@ def cmd_bench(args) -> int:
             emitted[0] += len(samples)
         return True
 
-    ok = engine.synthesize_stream(voice, args.prompt, cb,
-                                  chunk_samples=args.chunk_samples,
-                                  options=_make_options(args), profile=profile)
+    with device_trace(getattr(args, "trace", "")):
+        ok = engine.synthesize_stream(voice, args.prompt, cb,
+                                      chunk_samples=args.chunk_samples,
+                                      options=_make_options(args),
+                                      profile=profile)
     if not ok:
         print("stream_bench.error=1")
         return 1
@@ -211,6 +213,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="streaming benchmark")
     _add_model_args(p)
     p.add_argument("--chunk-samples", type=int, default=4096)
+    p.add_argument("--trace", default="",
+                   help="capture a jax.profiler device trace to this dir")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("compare", help="offline vs streaming fidelity")

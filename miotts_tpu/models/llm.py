@@ -459,7 +459,8 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
         active = jnp.logical_and(active, jnp.logical_not(is_stop))
         buf = buf.at[:, i].set(jnp.where(active, tok, -1))
         fill = cache["fill"]
-        pos = jnp.where(active, fill, cfg.n_ctx - 1)[:, None]
+        s_max = cache["k"].shape[2]
+        pos = jnp.where(active, fill, s_max - 1)[:, None]
         logits, cache = llm_forward(params, tok[:, None], pos, cache, cfg)
         cache = dict(cache, fill=jnp.where(active, fill + 1, fill))
         return i + 1, active, logits[:, 0], cache, key, buf

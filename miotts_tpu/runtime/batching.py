@@ -64,15 +64,23 @@ class ContinuousBatcher:
     """
 
     def __init__(self, engine: TTSEngine, n_slots: int = 8,
-                 chunk_steps: int = 20, quantized_kv: bool = False):
+                 chunk_steps: int = 20, quantized_kv: bool = False,
+                 ctx_len: int | None = None):
         assert engine.llm_params is not None, "batching needs the LLM"
         self.engine = engine
         self.cfg = engine.llm_cfg
         self.n_slots = n_slots
         self.chunk_steps = chunk_steps
+        if ctx_len is None:
+            # geometric bucket of prompt-bucket + token budget: per-step
+            # attention traffic scales with this length, not n_ctx
+            need = (engine.config.prompt_bucket * 2
+                    + engine.config.max_tokens + chunk_steps + 64)
+            ctx_len = min(_bucket_len(need, 256), engine.config.n_ctx)
+        self.ctx_len = ctx_len
         dtype = (jnp.bfloat16 if engine.config.llm_dtype == "bfloat16"
                  else jnp.float32)
-        self.cache = init_kv_cache(self.cfg, n_slots, engine.config.n_ctx,
+        self.cache = init_kv_cache(self.cfg, n_slots, ctx_len,
                                    dtype=dtype, quantized=quantized_kv)
         self.last_logits = jnp.zeros((n_slots, self.cfg.n_vocab), jnp.float32)
         self.active = np.zeros(n_slots, bool)
@@ -112,8 +120,8 @@ class ContinuousBatcher:
             n = len(ids)
             max_tok = (req.options.max_tokens if req.options.max_tokens > 0
                        else eng.config.max_tokens)
-            if n + max_tok > eng.config.n_ctx:
-                max_tok = max(0, eng.config.n_ctx - n)
+            if n + max_tok + self.chunk_steps > self.ctx_len:
+                max_tok = max(0, self.ctx_len - n - self.chunk_steps)
             req._max_tokens = max_tok
             bucket = _round_up(n, eng.config.prompt_bucket)
             toks = np.zeros((1, bucket), np.int32)

@@ -8,7 +8,25 @@ emit identical `stream_bench.*` metric names
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass, field
+
+
+@contextlib.contextmanager
+def device_trace(trace_dir: str | None):
+    """jax.profiler trace capture around a synthesis run (SURVEY.md §5:
+    the reference only has wall-clock spans; on TPU we add real device
+    timelines).  View with TensorBoard or xprof.  No-op when trace_dir is
+    falsy."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 @dataclass
