@@ -41,6 +41,9 @@ _ARCH_TABLE = {
     "qwen2": dict(rope_style="neox", qkv_bias=True, qk_norm=False),
     "qwen3": dict(rope_style="neox", qkv_bias=False, qk_norm=True),
     "mio": dict(rope_style="neox", qkv_bias=True, qk_norm=False),
+    # LFM2: hybrid gated-short-conv / attention layers; attention layers use
+    # per-head RMS q/k norms (before RoPE) and no biases.
+    "lfm2": dict(rope_style="neox", qkv_bias=False, qk_norm=True),
 }
 
 
@@ -61,6 +64,24 @@ class LLMConfig:
     qkv_bias: bool = False
     qk_norm: bool = False
     tie_embedding: bool = False
+    # Hybrid (LFM2-style) layer plan: None = all attention; else a tuple of
+    # "attn" / "conv" per layer (llama.cpp encodes this as a per-layer
+    # head_count array with 0 for conv layers).
+    layer_types: tuple[str, ...] | None = None
+    conv_l_cache: int = 3
+    conv_bias: bool = False
+
+    @property
+    def attn_layer_idx(self) -> tuple[int, ...]:
+        if self.layer_types is None:
+            return tuple(range(self.n_layers))
+        return tuple(i for i, t in enumerate(self.layer_types) if t == "attn")
+
+    @property
+    def conv_layer_idx(self) -> tuple[int, ...]:
+        if self.layer_types is None:
+            return ()
+        return tuple(i for i, t in enumerate(self.layer_types) if t == "conv")
 
     @classmethod
     def from_gguf(cls, reader) -> "LLMConfig":
@@ -69,8 +90,18 @@ class LLMConfig:
         g = lambda k, d: int(reader.kv.get(p + k, d))
         gf = lambda k, d: float(reader.kv.get(p + k, d))
         dim = g("embedding_length", 1024)
-        n_heads = g("attention.head_count", 16)
-        n_kv = g("attention.head_count_kv", n_heads)
+        # llama.cpp stores head_count per layer for hybrid archs (0 = conv
+        # layer, LFM2 convention).
+        hc = reader.kv.get(p + "attention.head_count", 16)
+        layer_types = None
+        if isinstance(hc, (list, tuple)):
+            layer_types = tuple("attn" if int(h) > 0 else "conv" for h in hc)
+            n_heads = max(int(h) for h in hc)
+        else:
+            n_heads = int(hc)
+        kvc = reader.kv.get(p + "attention.head_count_kv", n_heads)
+        n_kv = (max(int(h) for h in kvc) if isinstance(kvc, (list, tuple))
+                else int(kvc))
         head_dim = g("attention.key_length", dim // n_heads)
         n_vocab = len(reader.kv.get("tokenizer.ggml.tokens", [])) or g("vocab_size", 32000)
         toggles = _ARCH_TABLE.get(arch, _ARCH_TABLE["qwen2"])
@@ -88,6 +119,8 @@ class LLMConfig:
             rope_theta=gf("rope.freq_base", 10000.0),
             rms_eps=gf("attention.layer_norm_rms_epsilon", 1e-6),
             tie_embedding=tie,
+            layer_types=layer_types,
+            conv_l_cache=g("shortconv.l_cache", 3),
             **toggles,
         )
 
@@ -131,6 +164,56 @@ def load_llm_params(reader, cfg: LLMConfig | None = None,
     }
     if reader.has_tensor("output.weight"):
         params["output"] = _load_matrix(reader, "output.weight", dtype)
+
+    if cfg.layer_types is not None:
+        # Hybrid (LFM2): heterogeneous per-layer dicts, python-loop forward.
+        layers = []
+        for i in range(cfg.n_layers):
+            p = f"blk.{i}."
+            layer = {
+                "attn_norm": vec(p + "attn_norm.weight"),   # operator_norm
+                "ffn_norm": vec(p + "ffn_norm.weight"),
+                "w_gate": _load_matrix(reader, p + "ffn_gate.weight", dtype),
+                "w_up": _load_matrix(reader, p + "ffn_up.weight", dtype),
+                "w_down": _load_matrix(reader, p + "ffn_down.weight", dtype),
+            }
+            if cfg.layer_types[i] == "attn":
+                layer.update({
+                    "wq": _load_matrix(reader, p + "attn_q.weight", dtype),
+                    "wk": _load_matrix(reader, p + "attn_k.weight", dtype),
+                    "wv": _load_matrix(reader, p + "attn_v.weight", dtype),
+                    "wo": _load_matrix(reader, p + "attn_output.weight", dtype),
+                    "q_norm": vec(p + "attn_q_norm.weight"),
+                    "k_norm": vec(p + "attn_k_norm.weight"),
+                })
+            else:
+                cw = reader.tensor_f32(p + "shortconv.conv.weight")
+                layer["conv_w"] = jnp.asarray(
+                    cw.reshape(cfg.dim, -1), jnp.float32)  # [dim, L]
+                layer["in_proj"] = _load_matrix(
+                    reader, p + "shortconv.in_proj.weight", dtype)
+                layer["out_proj"] = _load_matrix(
+                    reader, p + "shortconv.out_proj.weight", dtype)
+                if reader.has_tensor(p + "shortconv.conv.bias"):
+                    layer["conv_b"] = vec(p + "shortconv.conv.bias")
+                if reader.has_tensor(p + "shortconv.in_proj.bias"):
+                    layer["in_proj_b"] = vec(p + "shortconv.in_proj.bias")
+                if reader.has_tensor(p + "shortconv.out_proj.bias"):
+                    layer["out_proj_b"] = vec(p + "shortconv.out_proj.bias")
+            if fuse:
+                if cfg.layer_types[i] == "attn" and all(
+                        isinstance(layer[k], type(layer["wq"]))
+                        for k in ("wq", "wk", "wv")):
+                    layer["wqkv"] = concat_qtensors(
+                        [layer.pop("wq"), layer.pop("wk"), layer.pop("wv")])
+                if all(isinstance(layer[k], type(layer["w_gate"]))
+                       for k in ("w_gate", "w_up")):
+                    layer["w_gateup"] = concat_qtensors(
+                        [layer.pop("w_gate"), layer.pop("w_up")])
+            layers.append(layer)
+        params["layers"] = layers
+        return params, cfg
+
     blocks = []
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
@@ -208,8 +291,29 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int | None = None,
     With `quantized`, k/v are stored int8 with per-(token, head) f32 scales —
     an extension over the reference, which always keeps f16 KV
     (`test-to-speech.cpp` never sets type_k/type_v; SURVEY.md §2.2).  Halves
-    (vs bf16) KV HBM traffic, the decode-attention bottleneck at depth."""
+    (vs bf16) KV HBM traffic, the decode-attention bottleneck at depth.
+
+    Hybrid archs (LFM2) get k/v sized to the attention layers only, plus a
+    short-conv state ring `conv` [n_conv_layers, B, L_cache-1, dim]."""
     S = max_len or cfg.n_ctx
+    n_attn = len(cfg.attn_layer_idx)
+    conv_extra = {}
+    if cfg.layer_types is not None:
+        n_conv = len(cfg.conv_layer_idx)
+        conv_extra["conv"] = jnp.zeros(
+            (n_conv, batch, cfg.conv_l_cache - 1, cfg.dim), dtype)
+        cache = {
+            "k": jnp.zeros((n_attn, batch, S, cfg.n_kv_heads, cfg.head_dim),
+                           jnp.int8 if quantized else dtype),
+            "v": jnp.zeros((n_attn, batch, S, cfg.n_kv_heads, cfg.head_dim),
+                           jnp.int8 if quantized else dtype),
+            "fill": jnp.zeros((batch,), jnp.int32),
+            **conv_extra,
+        }
+        if quantized:
+            cache["k_scale"] = jnp.zeros((n_attn, batch, S, cfg.n_kv_heads), jnp.float32)
+            cache["v_scale"] = jnp.zeros((n_attn, batch, S, cfg.n_kv_heads), jnp.float32)
+        return cache
     shape = (cfg.n_layers, batch, S, cfg.n_kv_heads, cfg.head_dim)
     if quantized:
         sshape = shape[:-1]
@@ -327,8 +431,9 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
     h = _rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
     if "w_gateup" in blk:
         gu = qdot(h, blk["w_gateup"])
-        gate = jax.nn.silu(gu[..., : cfg.ff_dim])
-        up = gu[..., cfg.ff_dim:]
+        ff = gu.shape[-1] // 2
+        gate = jax.nn.silu(gu[..., :ff])
+        up = gu[..., ff:]
     else:
         gate = jax.nn.silu(qdot(h, blk["w_gate"]))
         up = qdot(h, blk["w_up"])
@@ -336,9 +441,60 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
     return x, lcache
 
 
+def _conv_block_forward(x, layer, state, advance, cfg: LLMConfig):
+    """LFM2 gated short-conv layer + FFN (HF Lfm2ShortConv semantics):
+    h = operator_norm(x); (B, C, v) = split(in_proj(h)); Bv = B*v;
+    causal depthwise conv over Bv with the cached L-1 previous values;
+    y = out_proj(C * conv_out); x = x + y; then the SwiGLU FFN.
+
+    state: [B, L-1, dim] — the last L-1 REAL Bv values; advance [B]: how
+    many real tokens this call adds (prefill n_real, decode 1/0).  The new
+    state is slice [a, a+L-1) of concat([state, Bv]) — exactly the old state
+    when a == 0 (inactive slot), exactly the last L-1 real values otherwise.
+    """
+    Bsz, S, dim = x.shape
+    L = cfg.conv_l_cache
+    h = _rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+    bcx = qdot(h, layer["in_proj"])
+    if "in_proj_b" in layer:
+        bcx = bcx + layer["in_proj_b"].astype(bcx.dtype)
+    b_, c_, v_ = jnp.split(bcx, 3, axis=-1)
+    bv = b_ * v_                                     # [B, S, dim]
+
+    ext = jnp.concatenate([state.astype(bv.dtype), bv], axis=1)  # [B, L-1+S, dim]
+    # causal depthwise conv: out[t] = sum_i w[:, i] * ext[t + i], i in [0, L)
+    conv_w = layer["conv_w"]                         # [dim, L]
+    out = jnp.zeros_like(bv)
+    for i in range(L):                               # L is tiny (3)
+        out = out + ext[:, i:i + S, :] * conv_w[:, i].astype(bv.dtype)
+    if "conv_b" in layer:
+        out = out + layer["conv_b"].astype(out.dtype)
+
+    y = c_ * out
+    y = qdot(y, layer["out_proj"])
+    if "out_proj_b" in layer:
+        y = y + layer["out_proj_b"].astype(y.dtype)
+    x = x + y
+
+    new_state = jax.vmap(
+        lambda e, a: jax.lax.dynamic_slice_in_dim(e, a, L - 1, axis=0)
+    )(ext, advance.astype(jnp.int32))
+
+    h = _rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+    if "w_gateup" in layer:
+        gu = qdot(h, layer["w_gateup"])
+        gate = jax.nn.silu(gu[..., : gu.shape[-1] // 2])
+        up = gu[..., gu.shape[-1] // 2:]
+    else:
+        gate = jax.nn.silu(qdot(h, layer["w_gate"]))
+        up = qdot(h, layer["w_up"])
+    x = x + qdot((gate * up).astype(x.dtype), layer["w_down"])
+    return x, new_state.astype(state.dtype)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def llm_forward(params: dict, tokens: jax.Array, pos: jax.Array,
-                cache: dict, cfg: LLMConfig):
+                cache: dict, cfg: LLMConfig, advance: jax.Array | None = None):
     """Run the transformer over `tokens` [B, S] at absolute positions `pos`
     [B, S], updating the cache.  Returns (logits [B, S, V] f32, new_cache).
 
@@ -348,16 +504,43 @@ def llm_forward(params: dict, tokens: jax.Array, pos: jax.Array,
     see `llm_prefill`."""
     x = params["token_embd"][tokens]  # [B, S, dim]
 
-    layer_cache = {k: v for k, v in cache.items() if k != "fill"}
+    if "layers" in params:
+        # Hybrid (LFM2) path: python loop over heterogeneous layers.
+        B, S, _ = x.shape
+        if advance is None:
+            advance = jnp.full((B,), S, jnp.int32)
+        new_cache = dict(cache)
+        attn_i = 0
+        conv_i = 0
+        for li, layer_p in enumerate(params["layers"]):
+            kind = cfg.layer_types[li] if cfg.layer_types else "attn"
+            if kind == "attn":
+                lcache = {"k": cache["k"][attn_i], "v": cache["v"][attn_i]}
+                if "k_scale" in cache:
+                    lcache["k_scale"] = cache["k_scale"][attn_i]
+                    lcache["v_scale"] = cache["v_scale"][attn_i]
+                x, lcache = _block_forward(x, layer_p, lcache,
+                                           cache["fill"], pos, cfg)
+                for key, val in lcache.items():
+                    new_cache[key] = new_cache[key].at[attn_i].set(val)
+                attn_i += 1
+            else:
+                x, st = _conv_block_forward(x, layer_p,
+                                            cache["conv"][conv_i], advance, cfg)
+                new_cache["conv"] = new_cache["conv"].at[conv_i].set(st)
+                conv_i += 1
+        new_layer_cache = {k: v for k, v in new_cache.items() if k != "fill"}
+    else:
+        layer_cache = {k: v for k, v in cache.items() if k != "fill"}
 
-    def layer(carry, inputs):
-        x = carry
-        blk, lcache = inputs
-        x, lcache = _block_forward(x, blk, lcache, cache["fill"], pos, cfg)
-        return x, lcache
+        def layer(carry, inputs):
+            x = carry
+            blk, lcache = inputs
+            x, lcache = _block_forward(x, blk, lcache, cache["fill"], pos, cfg)
+            return x, lcache
 
-    x, new_layer_cache = jax.lax.scan(
-        layer, x, (params["blocks"], layer_cache))
+        x, new_layer_cache = jax.lax.scan(
+            layer, x, (params["blocks"], layer_cache))
     new_fill = jnp.maximum(cache["fill"], pos[:, -1] + 1)
 
     x = _rms_norm(x, params["output_norm"], cfg.rms_eps)
@@ -380,7 +563,8 @@ def llm_prefill(params, tokens, n_real, cache, cfg: LLMConfig):
     n_real, so they are never attended by later tokens."""
     B, S = tokens.shape
     pos = jnp.broadcast_to(jnp.arange(S), (B, S))
-    logits, cache = llm_forward(params, tokens, pos, cache, cfg)
+    logits, cache = llm_forward(params, tokens, pos, cache, cfg,
+                                advance=n_real.astype(jnp.int32))
     cache = dict(cache, fill=n_real.astype(jnp.int32))
     last = jnp.take_along_axis(logits, (n_real - 1)[:, None, None], axis=1)[:, 0]
     return last, cache
@@ -418,7 +602,8 @@ def llm_prefill_slot(params: dict, tokens: jax.Array, n_real: jax.Array,
     sub["fill"] = jnp.zeros((1,), jnp.int32)
     S = tokens.shape[1]
     pos = jnp.broadcast_to(jnp.arange(S), (1, S))
-    logits, sub = llm_forward(params, tokens, pos, sub, cfg)
+    logits, sub = llm_forward(params, tokens, pos, sub, cfg,
+                              advance=n_real.astype(jnp.int32)[None])
 
     def put(dst, src):
         return jax.lax.dynamic_update_slice_in_dim(dst, src, slot, axis=1)
@@ -461,7 +646,8 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
         fill = cache["fill"]
         s_max = cache["k"].shape[2]
         pos = jnp.where(active, fill, s_max - 1)[:, None]
-        logits, cache = llm_forward(params, tok[:, None], pos, cache, cfg)
+        logits, cache = llm_forward(params, tok[:, None], pos, cache, cfg,
+                                    advance=active.astype(jnp.int32))
         cache = dict(cache, fill=jnp.where(active, fill + 1, fill))
         return i + 1, active, logits[:, 0], cache, key, buf
 
