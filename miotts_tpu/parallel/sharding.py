@@ -58,6 +58,22 @@ _TOP_SPECS = {
     "output": P("model", None),
 }
 
+# Per-layer specs for hybrid (LFM2) layers ([out, in] 2-D weights, no
+# leading layer axis).  Short-conv: in_proj column-parallel, out_proj
+# row-parallel (one psum), depthwise conv weight replicated (tiny).
+_HYBRID_SPECS = {
+    "attn_norm": P(None), "ffn_norm": P(None),
+    "q_norm": P(None), "k_norm": P(None),
+    "wq": P("model", None), "wk": P("model", None), "wv": P("model", None),
+    "wo": P(None, "model"),
+    "wqkv": P(None, "model"), "bqkv": P(None),
+    "w_gate": P("model", None), "w_up": P("model", None),
+    "w_down": P(None, "model"), "w_gateup": P(None, "model"),
+    "in_proj": P("model", None), "in_proj_b": P("model"),
+    "out_proj": P(None, "model"), "out_proj_b": P(None),
+    "conv_w": P(None, None), "conv_b": P(None),
+}
+
 
 def _fits(shape, spec: P, mesh: Mesh) -> bool:
     for dim, ax in zip(shape, tuple(spec)):
@@ -105,6 +121,9 @@ def shard_llm_params(params: dict, mesh: Mesh, cfg: LLMConfig) -> dict:
         if k == "blocks":
             out[k] = {bk: _apply_spec(bv, _BLOCK_SPECS[bk], mesh)
                       for bk, bv in v.items()}
+        elif k == "layers":  # hybrid (LFM2) per-layer dicts
+            out[k] = [{lk: _apply_spec(lv, _HYBRID_SPECS.get(lk, P()), mesh)
+                       for lk, lv in layer.items()} for layer in v]
         elif k in _TOP_SPECS:
             out[k] = _apply_spec(v, _TOP_SPECS[k], mesh)
         else:
@@ -117,6 +136,9 @@ def kv_cache_sharding(mesh: Mesh) -> dict:
     return {
         "k": NamedSharding(mesh, P(None, "data", None, "model", None)),
         "v": NamedSharding(mesh, P(None, "data", None, "model", None)),
+        "k_scale": NamedSharding(mesh, P(None, "data", None, "model")),
+        "v_scale": NamedSharding(mesh, P(None, "data", None, "model")),
+        "conv": NamedSharding(mesh, P(None, "data", None, None)),
         "fill": NamedSharding(mesh, P("data")),
     }
 

@@ -111,3 +111,31 @@ def test_tp_quantized_weights(tmp_path, rng):
         got, _ = llm_forward(sp, toks, pos, sc, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_tp_lfm2_hybrid(tmp_path, rng):
+    """TP-sharded hybrid (LFM2) forward matches single-device."""
+    from miotts_tpu.models.llm import LLMConfig as LC
+    cfg0 = LC(arch="lfm2", n_layers=4, dim=64, n_heads=4, n_kv_heads=4,
+              head_dim=16, ff_dim=96, n_vocab=256 + 3 + 16, n_ctx=64,
+              rope_style="neox", qkv_bias=False, qk_norm=True,
+              layer_types=("conv", "attn", "conv", "attn"), conv_l_cache=3)
+    path = str(tmp_path / "lfm2.gguf")
+    write_synthetic_llm(path, cfg=cfg0, seed=6)
+    with GGUFReader(path) as r:
+        cfg = LLMConfig.from_gguf(r)
+        params, _ = load_llm_params(r, cfg, dtype=jnp.float32)
+
+    B, S = 2, 5
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (B, S)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    want, _ = llm_forward(params, toks, pos,
+                          init_kv_cache(cfg, B, 16, dtype=jnp.float32), cfg)
+
+    mesh = make_mesh(data=2, model=4)
+    with jax.set_mesh(mesh):
+        sp = shard_llm_params(params, mesh, cfg)
+        sc = shard_kv_cache(init_kv_cache(cfg, B, 16, dtype=jnp.float32), mesh)
+        got, _ = llm_forward(sp, toks, pos, sc, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
