@@ -479,7 +479,18 @@ class TTSEngine:
                     return False
             return True
 
-        self.generate_tokens(text, options, on_token=on_token, profile=profile)
+        try:
+            self.generate_tokens(text, options, on_token=on_token,
+                                 profile=profile)
+        except Exception:
+            # Mid-stream LLM failure: flush whatever was committed, then
+            # report failure (the reference breaks the loop and flushes,
+            # test-to-speech.cpp:596-617).
+            ok_holder["ok"] = False
+            try:
+                maybe_emit(True)
+            except Exception:
+                pass
         ok = ok_holder["ok"]
         if ok:
             ok = maybe_emit(True)
