@@ -26,6 +26,16 @@ import numpy as np
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks", "cache")
 MAX_TOKENS = int(os.environ.get("MIOTTS_BENCH_TOKENS", "128"))
 
+# BASELINE.json config shapes (synthetic weights at real sizes).
+# name -> (dim, layers, heads, kv_heads, ff, quant)
+_MODELS = {
+    "0.1b-q8_0": dict(dim=768, layers=12, heads=12, kv=4, ff=2048, q="q8_0"),
+    "0.4b-q4_k": dict(dim=1024, layers=24, heads=16, kv=8, ff=3072, q="q4_k"),
+    "0.4b-q8_0": dict(dim=1024, layers=24, heads=16, kv=8, ff=3072, q="q8_0"),
+    "1.2b-q6_k": dict(dim=2048, layers=24, heads=32, kv=8, ff=5632, q="q6_k"),
+}
+MODEL = os.environ.get("MIOTTS_BENCH_MODEL", "0.1b-q8_0").lower()
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -34,22 +44,26 @@ def log(msg):
 def ensure_models():
     """Build (once) the bench model files: 0.1B-shape Q8_0 LLM + full codec."""
     os.makedirs(BENCH_DIR, exist_ok=True)
-    llm_path = os.path.join(BENCH_DIR, "bench-0.1B-Q8_0.gguf")
+    spec = _MODELS[MODEL]
+    llm_path = os.path.join(BENCH_DIR, f"bench-{MODEL}.gguf")
     codec_path = os.path.join(BENCH_DIR, "bench-miocodec.gguf")
     emb_path = os.path.join(BENCH_DIR, "bench-voice.emb.gguf")
 
     if not os.path.exists(llm_path):
-        log("bench: building synthetic 0.1B Q8_0 LLM ...")
-        from miotts_tpu.gguf import GGML_Q8_0
+        log(f"bench: building synthetic {MODEL} LLM ...")
+        from miotts_tpu.gguf import GGML_Q4_K, GGML_Q6_K, GGML_Q8_0
         from miotts_tpu.models.llm import LLMConfig
         from miotts_tpu.models.synthetic import write_synthetic_llm
+        qmap = {"q8_0": GGML_Q8_0, "q4_k": GGML_Q4_K, "q6_k": GGML_Q6_K}
         n_speech = 12800
-        cfg = LLMConfig(arch="qwen2", n_layers=12, dim=768, n_heads=12,
-                        n_kv_heads=4, head_dim=64, ff_dim=2048,
+        cfg = LLMConfig(arch="qwen2", n_layers=spec["layers"], dim=spec["dim"],
+                        n_heads=spec["heads"], n_kv_heads=spec["kv"],
+                        head_dim=spec["dim"] // spec["heads"],
+                        ff_dim=spec["ff"],
                         n_vocab=256 + 3 + n_speech, n_ctx=2048,
                         rope_theta=1e6, rope_style="neox", qkv_bias=True,
                         qk_norm=False)
-        write_synthetic_llm(llm_path, cfg=cfg, quant_type=GGML_Q8_0, seed=0)
+        write_synthetic_llm(llm_path, cfg=cfg, quant_type=qmap[spec["q"]], seed=0)
 
     if not os.path.exists(codec_path):
         log("bench: building synthetic full-size MioCodec ...")
