@@ -322,7 +322,9 @@ class TTSEngine:
         t0 = time.perf_counter()
         log_mag, phase = codec_decode_spec(
             self.codec_params, jnp.asarray(padded), emb, cfg, n_real=n_real)
-        log_mag.block_until_ready()
+        if profile:
+            # only force the intermediate sync when stage timing is wanted
+            log_mag.block_until_ready()
         t1 = time.perf_counter()
 
         audio = spec_to_audio_bucketed(
