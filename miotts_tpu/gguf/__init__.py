@@ -7,8 +7,8 @@ miotts_tpu/ops.
 
 from .reader import (
     GGUFReader, TensorInfo, load_voice_embedding, ggml_type_name, ggml_nbytes,
-    GGML_F32, GGML_F16, GGML_BF16, GGML_Q4_0, GGML_Q4_K, GGML_Q6_K, GGML_Q8_0,
-    GGML_I32,
+    GGML_F32, GGML_F16, GGML_BF16, GGML_Q4_0, GGML_Q4_K, GGML_Q5_K,
+    GGML_Q6_K, GGML_Q8_0, GGML_I32,
 )
 from .quants import (
     GroupQuant, dequantize, quantize, to_group_quant, is_quantized,
@@ -20,5 +20,5 @@ __all__ = [
     "ggml_nbytes", "GGUFWriter", "write_voice_embedding",
     "GroupQuant", "dequantize", "quantize", "to_group_quant", "is_quantized",
     "GGML_F32", "GGML_F16", "GGML_BF16", "GGML_Q4_0", "GGML_Q4_K",
-    "GGML_Q6_K", "GGML_Q8_0", "GGML_I32",
+    "GGML_Q5_K", "GGML_Q6_K", "GGML_Q8_0", "GGML_I32",
 ]

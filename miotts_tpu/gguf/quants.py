@@ -28,8 +28,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from .reader import (
-    GGML_BF16, GGML_F16, GGML_F32, GGML_Q4_0, GGML_Q4_K, GGML_Q6_K, GGML_Q8_0,
-    GGML_BLOCK_LAYOUT,
+    GGML_BF16, GGML_F16, GGML_F32, GGML_Q4_0, GGML_Q4_K, GGML_Q5_K,
+    GGML_Q6_K, GGML_Q8_0, GGML_BLOCK_LAYOUT,
 )
 
 QK = 32      # simple-format block size
@@ -140,6 +140,39 @@ def dequant_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
     return w.reshape(-1)
 
 
+def _q5k_fields(raw: np.ndarray, n: int):
+    """Split raw Q5_K blocks (176 bytes / 256 elems: d, dmin, 12B scales,
+    32B qh, 128B qs) into (d, dmin, sc6, mn6, q) with q uint8 in 0..31.
+
+    Element order per ggml dequant: chunks of 64; low nibbles are elements
+    0..31 (high bit qh & 1<<(2c)), high nibbles elements 32..63 (high bit
+    qh & 1<<(2c+1))."""
+    nb = n // QK_K
+    blocks = raw[: nb * 176].reshape(nb, 176)
+    d = _f16_to_f32(blocks[:, 0:2].copy().view(np.uint16).reshape(nb))
+    dmin = _f16_to_f32(blocks[:, 2:4].copy().view(np.uint16).reshape(nb))
+    sc6, mn6 = _unpack_q4k_scales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]    # [nb, 32]
+    qs = blocks[:, 48:176]   # [nb, 128]
+    q = np.empty((nb, QK_K), dtype=np.uint8)
+    for c in range(4):
+        chunk = qs[:, c * 32:(c + 1) * 32]
+        hi_lo = ((qh >> (2 * c)) & 1).astype(np.uint8)
+        hi_hi = ((qh >> (2 * c + 1)) & 1).astype(np.uint8)
+        q[:, c * 64:c * 64 + 32] = (chunk & 0x0F) | (hi_lo << 4)
+        q[:, c * 64 + 32:c * 64 + 64] = (chunk >> 4) | (hi_hi << 4)
+    return d, dmin, sc6, mn6, q
+
+
+def dequant_q5_k(raw: np.ndarray, n: int) -> np.ndarray:
+    """Q5_K: 256-elem super-blocks; w = d*sc6*q - dmin*m6, q in 0..31."""
+    d, dmin, sc6, mn6, q = _q5k_fields(raw, n)
+    scale32 = d[:, None] * sc6.astype(np.float32)
+    min32 = dmin[:, None] * mn6.astype(np.float32)
+    qf = q.reshape(-1, 8, 32).astype(np.float32)
+    return (qf * scale32[:, :, None] - min32[:, :, None]).reshape(-1)
+
+
 def _q6k_fields(raw: np.ndarray, n: int):
     """Split raw Q6_K blocks into (d [nb], sc8 [nb,16], q [nb,256] int8).
 
@@ -180,6 +213,7 @@ _DEQUANT = {
     GGML_Q8_0: dequant_q8_0,
     GGML_Q4_0: dequant_q4_0,
     GGML_Q4_K: dequant_q4_k,
+    GGML_Q5_K: dequant_q5_k,
     GGML_Q6_K: dequant_q6_k,
 }
 
@@ -275,6 +309,44 @@ def quantize_q4_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def quantize_q5_k(x: np.ndarray) -> np.ndarray:
+    """Q5_K: per-32-group affine with 5-bit quants + 6-bit super-scales."""
+    x = x.reshape(-1, 8, 32).astype(np.float32)
+    nb = x.shape[0]
+    gmax = x.max(axis=2)
+    gmin = x.min(axis=2)
+    mins = np.maximum(-gmin, 0.0)
+    scales = np.maximum((gmax + mins) / 31.0, 0.0)
+    d = scales.max(axis=1) / 63.0
+    dmin = mins.max(axis=1) / 63.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    inv_m = np.where(dmin > 0, 1.0 / np.where(dmin == 0, 1, dmin), 0.0)
+    sc6 = np.clip(np.round(scales * inv_d[:, None]), 0, 63).astype(np.uint8)
+    mn6 = np.clip(np.round(mins * inv_m[:, None]), 0, 63).astype(np.uint8)
+    d16 = _f32_to_f16_bits(d)
+    dmin16 = _f32_to_f16_bits(dmin)
+    d_eff = d16.view(np.float16).astype(np.float32)[:, None] * sc6
+    m_eff = dmin16.view(np.float16).astype(np.float32)[:, None] * mn6
+    safe = np.where(d_eff > 0, d_eff, 1.0)
+    q = np.clip(np.round((x + m_eff[:, :, None]) / safe[:, :, None]), 0, 31)
+    q = np.where(d_eff[:, :, None] > 0, q, 0).astype(np.uint8).reshape(nb, QK_K)
+    out = np.empty((nb, 176), dtype=np.uint8)
+    out[:, 0:2] = d16.view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = dmin16.view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = _pack_q4k_scales(sc6, mn6)
+    qh = np.zeros((nb, 32), dtype=np.uint8)
+    qs = np.empty((nb, 128), dtype=np.uint8)
+    for c in range(4):
+        lo = q[:, c * 64:c * 64 + 32]
+        hi = q[:, c * 64 + 32:c * 64 + 64]
+        qs[:, c * 32:(c + 1) * 32] = (lo & 0x0F) | ((hi & 0x0F) << 4)
+        qh |= ((lo >> 4) & 1) << (2 * c)
+        qh |= ((hi >> 4) & 1) << (2 * c + 1)
+    out[:, 16:48] = qh
+    out[:, 48:176] = qs
+    return out.reshape(-1)
+
+
 def quantize_q6_k(x: np.ndarray) -> np.ndarray:
     """Q6_K: per-16-group symmetric 6-bit with int8 group scales."""
     x = x.reshape(-1, 16, 16).astype(np.float32)  # [nb, group, 16]
@@ -324,6 +396,7 @@ _QUANTIZE = {
     GGML_Q8_0: lambda x: quantize_q8_0(x).tobytes(),
     GGML_Q4_0: lambda x: quantize_q4_0(x).tobytes(),
     GGML_Q4_K: lambda x: quantize_q4_k(x).tobytes(),
+    GGML_Q5_K: lambda x: quantize_q5_k(x).tobytes(),
     GGML_Q6_K: lambda x: quantize_q6_k(x).tobytes(),
 }
 
@@ -402,6 +475,12 @@ def to_group_quant(raw: np.ndarray, ggml_type: int, rows: int, cols: int) -> Gro
         min32 = (dmin[:, None] * mn6.astype(np.float32)).reshape(rows, cols // 32)
         return GroupQuant(q.view(np.int8).reshape(rows, cols).copy(),
                           scale32, min32, 32, ggml_type)
+    if ggml_type == GGML_Q5_K:
+        d, dmin, sc6, mn6, q = _q5k_fields(raw, n)
+        scale32 = (d[:, None] * sc6.astype(np.float32)).reshape(rows, cols // 32)
+        min32 = (dmin[:, None] * mn6.astype(np.float32)).reshape(rows, cols // 32)
+        return GroupQuant(q.view(np.int8).reshape(rows, cols).copy(),
+                          scale32, min32, 32, ggml_type)
     if ggml_type == GGML_Q6_K:
         d, sc, q = _q6k_fields(raw, n)
         scale16 = (d[:, None] * sc.astype(np.float32)).reshape(rows, cols // 16)
@@ -410,4 +489,4 @@ def to_group_quant(raw: np.ndarray, ggml_type: int, rows: int, cols: int) -> Gro
 
 
 def is_quantized(ggml_type: int) -> bool:
-    return ggml_type in (GGML_Q8_0, GGML_Q4_0, GGML_Q4_K, GGML_Q6_K)
+    return ggml_type in (GGML_Q8_0, GGML_Q4_0, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K)

@@ -11,7 +11,7 @@ import pytest
 from miotts_tpu.gguf import (
     GGUFReader, GGUFWriter, load_voice_embedding, write_voice_embedding,
     to_group_quant, GGML_BF16, GGML_F16, GGML_F32, GGML_I32,
-    GGML_Q4_0, GGML_Q4_K, GGML_Q6_K, GGML_Q8_0,
+    GGML_Q4_0, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K, GGML_Q8_0,
 )
 from miotts_tpu.gguf.quants import dequantize, quantize
 
@@ -65,6 +65,7 @@ def test_alignment_of_tensor_offsets(tmp_path, rng):
     (GGML_BF16, 1e-2),
     (GGML_Q8_0, 2e-2),
     (GGML_Q4_0, 0.4),
+    (GGML_Q5_K, 0.12),
     (GGML_Q4_K, 0.25),
     (GGML_Q6_K, 0.06),
 ])
@@ -77,7 +78,7 @@ def test_quant_roundtrip_error(gtype, atol, rng):
     assert err < atol, f"max reconstruction error {err}"
 
 
-@pytest.mark.parametrize("gtype", [GGML_Q8_0, GGML_Q4_0, GGML_Q4_K, GGML_Q6_K])
+@pytest.mark.parametrize("gtype", [GGML_Q8_0, GGML_Q4_0, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K])
 def test_group_quant_matches_dequant(gtype, rng):
     """Planar GroupQuant repack must dequantize identically to the reference
     block dequantizer (bit-exact dequant path is the parity contract,

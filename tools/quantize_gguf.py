@@ -5,7 +5,7 @@ The reference consumes pre-quantized GGUFs from HF (BF16/Q8_0/Q6_K/Q4_K_M,
 `/root/reference/README.md:196`) but ships no quantizer; this framework
 includes one so checkpoints can be converted locally.
 
-Usage: quantize_gguf.py IN.gguf OUT.gguf {q8_0,q6_k,q4_k,q4_0,f16,bf16}
+Usage: quantize_gguf.py IN.gguf OUT.gguf {q8_0,q6_k,q5_k,q4_k,q4_0,f16,bf16}
 
 1-D tensors (norms, biases) and token embeddings stay f32, matching
 llama.cpp's convention.
@@ -20,12 +20,12 @@ import numpy as np
 from miotts_tpu.gguf import GGUFReader, GGUFWriter
 from miotts_tpu.gguf.reader import (
     GGML_BF16, GGML_F16, GGML_F32, GGML_I32, GGML_Q4_0, GGML_Q4_K,
-    GGML_Q6_K, GGML_Q8_0,
+    GGML_Q5_K, GGML_Q6_K, GGML_Q8_0,
 )
 
 FORMATS = {
     "q8_0": GGML_Q8_0, "q6_k": GGML_Q6_K, "q4_k": GGML_Q4_K,
-    "q4_0": GGML_Q4_0, "f16": GGML_F16, "bf16": GGML_BF16,
+    "q5_k": GGML_Q5_K, "q4_0": GGML_Q4_0, "f16": GGML_F16, "bf16": GGML_BF16,
 }
 
 _KEEP_F32 = ("token_embd.weight",)
@@ -33,7 +33,7 @@ _KEEP_F32 = ("token_embd.weight",)
 
 def quantize_file(src: str, dst: str, fmt: str) -> None:
     gtype = FORMATS[fmt]
-    blk = 256 if fmt in ("q6_k", "q4_k") else 32
+    blk = 256 if fmt in ("q6_k", "q5_k", "q4_k") else 32
     with GGUFReader(src) as r:
         w = GGUFWriter(dst)
         for key, val in r.kv.items():
