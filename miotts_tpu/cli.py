@@ -178,6 +178,25 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP TTS server backed by the continuous batcher."""
+    import glob
+    import os
+    from .runtime.engine import VoiceModel
+    from .runtime.server import serve
+    engine = _make_engine(args)
+    engine.warmup()
+    voices = {}
+    for path in glob.glob(os.path.join(args.voices_dir, "*.emb.gguf")):
+        name = os.path.basename(path).replace(".emb.gguf", "")
+        voices[name] = VoiceModel(path)
+    if not voices:
+        print(f"Error: no *.emb.gguf files in {args.voices_dir}", file=sys.stderr)
+        return 1
+    serve(engine, voices, host=args.host, port=args.port, n_slots=args.slots)
+    return 0
+
+
 def cmd_analyze(args) -> int:
     from .audio.analyze import analyze_audio
     from .audio.wav import wav_read
@@ -222,6 +241,19 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-samples", type=int, default=4096)
     p.add_argument("-o", "--output", default="")
     p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("serve", help="HTTP TTS server (continuous batching)")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("-c", "--codec", required=True)
+    p.add_argument("--voices-dir", required=True,
+                   help="directory of *.emb.gguf voice files")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("-t", "--temp", type=float, default=0.8)
+    p.add_argument("--max-tokens", type=int, default=700)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("analyze", help="WAV health report")
     p.add_argument("files", nargs="+")

@@ -39,6 +39,7 @@ class Request:
     voice: VoiceModel
     callback: Callable[[Optional[np.ndarray], int, bool], bool]
     options: Options = field(default_factory=Options)
+    on_finish: Optional[Callable] = None
     # state
     slot: int = -1
     codes: list = field(default_factory=list)
@@ -99,9 +100,10 @@ class ContinuousBatcher:
         return len(self.waiting) + int(np.sum(self.active))
 
     def submit(self, text: str, voice: VoiceModel,
-               callback, options: Options = Options()) -> int:
+               callback, options: Options = Options(),
+               on_finish=None) -> int:
         req = Request(req_id=self._next_id, text=text, voice=voice,
-                      callback=callback, options=options,
+                      callback=callback, options=options, on_finish=on_finish,
                       submitted_at=time.perf_counter())
         self._next_id += 1
         self.waiting.append(req)
@@ -141,6 +143,11 @@ class ContinuousBatcher:
         slot = req.slot
         self.active[slot] = False
         self.slot_req[slot] = None
+        if req.on_finish is not None:
+            try:
+                req.on_finish(req)
+            except Exception:
+                pass
 
     def _emit(self, req: Request, is_final: bool) -> bool:
         """Per-request commit-holdback emission — identical policy to the

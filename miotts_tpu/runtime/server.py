@@ -1,0 +1,190 @@
+"""HTTP serving front-end over the continuous batcher.
+
+The reference deliberately disables llama.cpp's server (`CMakeLists.txt:12`)
+and serves nothing; this framework's north star is production serving, so
+this module provides the missing piece: a threaded HTTP server where each
+request is admitted into the shared ContinuousBatcher and its audio streams
+back as it is committed.
+
+Endpoints:
+  GET  /health            -> {"status": "ok", "pending": N}
+  GET  /voices            -> {"voices": [names]}
+  POST /synthesize        body {"text": ..., "voice": name?,
+                                "temperature"?, "max_tokens"?, "seed"?,
+                                "format": "wav" | "pcm"}
+       -> audio/wav (buffered) or chunked s16le PCM stream
+
+Stdlib-only (http.server); one scheduler thread drives batcher.step() while
+handler threads block on per-request chunk queues.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .batching import ContinuousBatcher
+from .engine import Options, TTSEngine, VoiceModel
+
+
+class TTSServer:
+    def __init__(self, engine: TTSEngine, voices: dict[str, VoiceModel],
+                 n_slots: int = 8, default_voice: str | None = None):
+        self.engine = engine
+        self.voices = voices
+        self.default_voice = default_voice or next(iter(voices), None)
+        self.batcher = ContinuousBatcher(engine, n_slots=n_slots)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._scheduler, daemon=True)
+
+    def start_scheduler(self):
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+
+    def _scheduler(self):
+        while not self._stop.is_set():
+            with self._lock:
+                pending = self.batcher.pending
+                if pending:
+                    self.batcher.step()
+            if not pending:
+                time.sleep(0.005)
+
+    def submit(self, text: str, voice_name: str | None,
+               options: Options) -> "queue.Queue":
+        """Submit a request; returns a queue yielding (samples|None, is_last)."""
+        vname = voice_name or self.default_voice
+        if vname not in self.voices:
+            raise KeyError(f"unknown voice '{vname}'")
+        out: queue.Queue = queue.Queue(maxsize=256)
+        state = {"final_sent": False}
+
+        def cb(samples, sr, is_last):
+            if is_last:
+                state["final_sent"] = True
+            out.put((None if samples is None else np.asarray(samples), is_last))
+            return True
+
+        def on_finish(req):
+            # a request may finish without a final callback (e.g. zero
+            # speech codes generated); always release the waiting handler
+            if not state["final_sent"]:
+                state["final_sent"] = True
+                out.put((None, True))
+
+        with self._lock:
+            self.batcher.submit(text, self.voices[vname], cb, options,
+                                on_finish=on_finish)
+        return out
+
+
+def _make_handler(server: TTSServer):
+    engine = server.engine
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json(200, {"status": "ok",
+                                        "pending": server.batcher.pending,
+                                        "sample_rate": engine.sample_rate})
+            if self.path == "/voices":
+                return self._json(200, {"voices": sorted(server.voices)})
+            return self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                return self._json(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+            except (KeyError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": f"bad request: {e}"})
+
+            options = Options(
+                temperature=float(req.get("temperature", -1.0)),
+                max_tokens=int(req.get("max_tokens", -1)),
+                seed=int(req.get("seed", -1)),
+            )
+            fmt = req.get("format", "wav")
+            try:
+                chunks_q = server.submit(text, req.get("voice"), options)
+            except KeyError as e:
+                return self._json(400, {"error": str(e)})
+
+            sr = engine.sample_rate
+            if fmt == "pcm":
+                # chunked streaming of s16le PCM as audio is committed
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 f"audio/L16;rate={sr};channels=1")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                while True:
+                    samples, is_last = chunks_q.get()
+                    if samples is not None and len(samples):
+                        pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+                        self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                        self.wfile.write(pcm + b"\r\n")
+                    if is_last:
+                        break
+                self.wfile.write(b"0\r\n\r\n")
+                return
+
+            # buffered WAV
+            parts = []
+            while True:
+                samples, is_last = chunks_q.get()
+                if samples is not None:
+                    parts.append(samples)
+                if is_last:
+                    break
+            audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+            import io
+            import struct
+            pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+            hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm),
+                              b"WAVE", b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
+                              b"data", len(pcm))
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(44 + len(pcm)))
+            self.end_headers()
+            self.wfile.write(hdr + pcm)
+
+    return Handler
+
+
+def serve(engine: TTSEngine, voices: dict[str, VoiceModel],
+          host: str = "127.0.0.1", port: int = 8080, n_slots: int = 8):
+    """Run the TTS HTTP server (blocking)."""
+    srv = TTSServer(engine, voices, n_slots=n_slots)
+    srv.start_scheduler()
+    httpd = ThreadingHTTPServer((host, port), _make_handler(srv))
+    print(f"miotts serving on http://{host}:{port} "
+          f"(slots={n_slots}, voices={sorted(voices)})", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        srv.stop()

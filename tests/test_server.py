@@ -1,0 +1,122 @@
+"""HTTP serving tests: health, voices, buffered WAV, streamed PCM."""
+
+import http.client
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from miotts_tpu.gguf import write_voice_embedding
+from miotts_tpu.models.synthetic import write_synthetic_codec, write_synthetic_llm
+from miotts_tpu.runtime.engine import EngineConfig, TTSEngine, VoiceModel
+from miotts_tpu.runtime.server import TTSServer, _make_handler
+from http.server import ThreadingHTTPServer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srv")
+    codec_path = str(d / "codec.gguf")
+    llm_path = str(d / "llm.gguf")
+    ccfg = write_synthetic_codec(codec_path, n_codes=64, seed=3)
+    write_synthetic_llm(llm_path, seed=5, n_speech=64)
+    emb_path = str(d / "jp_female.emb.gguf")
+    rng = np.random.default_rng(11)
+    write_voice_embedding(emb_path, rng.standard_normal(ccfg.adaln_dim) * 0.3)
+
+    engine = TTSEngine(EngineConfig(
+        model_path=llm_path, codec_path=codec_path,
+        max_tokens=50, llm_dtype="float32",
+        prompt_bucket=32, code_bucket=16))
+    srv = TTSServer(engine, {"jp_female": VoiceModel(emb_path)}, n_slots=2)
+    srv.start_scheduler()
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(srv))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+    srv.stop()
+
+
+def _conn(port):
+    return http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+
+def test_health_and_voices(server):
+    c = _conn(server)
+    c.request("GET", "/health")
+    r = c.getresponse()
+    assert r.status == 200
+    body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["sample_rate"] == 44100
+
+    c.request("GET", "/voices")
+    r = c.getresponse()
+    assert json.loads(r.read())["voices"] == ["jp_female"]
+
+
+def test_synthesize_wav(server):
+    c = _conn(server)
+    payload = json.dumps({"text": "hello server", "max_tokens": 30,
+                          "temperature": 1.0})
+    c.request("POST", "/synthesize", body=payload,
+              headers={"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    data = r.read()
+    assert data[:4] == b"RIFF"
+    # body length consistent with header
+    assert len(data) >= 44
+
+
+def test_synthesize_pcm_stream(server):
+    c = _conn(server)
+    payload = json.dumps({"text": "stream me", "max_tokens": 30,
+                          "temperature": 1.0, "format": "pcm"})
+    c.request("POST", "/synthesize", body=payload,
+              headers={"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert "audio/L16" in r.getheader("Content-Type")
+    data = r.read()  # http.client de-chunks
+    assert len(data) % 2 == 0  # whole s16 samples
+
+
+def test_unknown_voice(server):
+    c = _conn(server)
+    c.request("POST", "/synthesize",
+              body=json.dumps({"text": "x", "voice": "nope"}),
+              headers={"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 400
+    r.read()
+
+
+def test_concurrent_requests(server):
+    results = []
+
+    def one(i):
+        c = _conn(server)
+        c.request("POST", "/synthesize",
+                  body=json.dumps({"text": f"req {i}", "max_tokens": 25,
+                                   "temperature": 1.0}),
+                  headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        results.append((r.status, len(r.read())))
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 4
+    assert all(s == 200 for s, _ in results)
