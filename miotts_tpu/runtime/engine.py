@@ -76,6 +76,7 @@ class EngineConfig:
     prompt_bucket: int = 64
     code_bucket: int = 32
     llm_dtype: str = "bfloat16"
+    quantized_kv: bool = False   # int8 KV cache (north-star extension)
 
 
 @dataclass
@@ -176,7 +177,8 @@ class TTSEngine:
             # same cache-size bucket rule as generate_tokens
             s_cache = min(_bucket_len(bucket_p + self.config.max_tokens + 64, 256),
                           self.config.n_ctx)
-            cache = init_kv_cache(cfg, 1, s_cache, dtype=dtype)
+            cache = init_kv_cache(cfg, 1, s_cache, dtype=dtype,
+                                  quantized=self.config.quantized_kv)
             toks = jnp.zeros((1, bucket_p), jnp.int32)
             last, cache = llm_prefill(self.llm_params, toks,
                                       jnp.asarray([8], jnp.int32), cache, cfg)
@@ -240,7 +242,8 @@ class TTSEngine:
             self._cache = init_kv_cache(
                 cfg, 1, s_cache,
                 dtype=jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
-                else jnp.float32)
+                else jnp.float32,
+                quantized=self.config.quantized_kv)
         cache = dict(self._cache, fill=jnp.zeros((1,), jnp.int32))
         last, cache = llm_prefill(self.llm_params, jnp.asarray(toks),
                                   jnp.asarray([n], jnp.int32), cache, cfg)

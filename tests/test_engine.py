@@ -167,3 +167,24 @@ def test_analyze_audio_smoke(rng):
     assert rep["clipped_pct"] == 0.0
     silent = analyze_audio(np.zeros(sr), sr)
     assert "mostly silent" in silent["issues"]
+
+
+def test_engine_quantized_kv(tmp_path, rng):
+    """Engine runs end-to-end with the int8 KV cache enabled."""
+    from miotts_tpu.gguf import write_voice_embedding
+    from miotts_tpu.models.synthetic import write_synthetic_codec, write_synthetic_llm
+
+    codec_path = str(tmp_path / "codec.gguf")
+    llm_path = str(tmp_path / "llm.gguf")
+    ccfg = write_synthetic_codec(codec_path, n_codes=64, seed=3)
+    write_synthetic_llm(llm_path, seed=5, n_speech=64)
+    emb_path = str(tmp_path / "v.emb.gguf")
+    write_voice_embedding(emb_path, rng.standard_normal(ccfg.adaln_dim) * 0.3)
+
+    eng = TTSEngine(EngineConfig(model_path=llm_path, codec_path=codec_path,
+                                 max_tokens=30, llm_dtype="float32",
+                                 prompt_bucket=32, code_bucket=16,
+                                 quantized_kv=True))
+    a = eng.generate_tokens("int8 kv", Options(max_tokens=25, seed=42))
+    b = eng.generate_tokens("int8 kv", Options(max_tokens=25, seed=42))
+    assert a == b
