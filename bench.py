@@ -133,9 +133,26 @@ def main() -> int:
 
     profile = best
     audio_sec = best_emitted / engine.sample_rate
+
+    # p50 time-to-first-audio over several steady-state streams (north-star
+    # metric, BASELINE.md).
+    ttfas = [best.first_audio_sec] if best.first_audio_sec >= 0 else []
+    for i in range(4):
+        p = StreamProfile()
+        if engine.synthesize_stream(
+                voice, f"p50 probe utterance number {i}", cb,
+                options=Options(max_tokens=MAX_TOKENS, seed=50 + i),
+                profile=p) and p.first_audio_sec >= 0:
+            ttfas.append(p.first_audio_sec)
+    if ttfas:
+        p50 = sorted(ttfas)[len(ttfas) // 2]
+        log(f"bench: p50 time-to-first-audio = {p50:.3f}s over {len(ttfas)} streams")
     metrics = profile.as_metrics(audio_sec)
     metrics["bench.decode_tokens_per_sec"] = (
         profile.llm_tokens / profile.llm_sec if profile.llm_sec > 0 else 0.0)
+    if ttfas:
+        metrics["bench.p50_first_audio_sec"] = sorted(ttfas)[len(ttfas) // 2]
+    metrics["bench.model"] = MODEL
     for k, v in sorted(metrics.items()):
         log(f"  {k} = {v:.6f}" if isinstance(v, float) else f"  {k} = {v}")
 
