@@ -149,32 +149,20 @@ def cmd_compare(args) -> int:
         wav_write(args.output + ".offline.wav", offline, engine.sample_rate)
         wav_write(args.output + ".stream.wav", streamed, engine.sample_rate)
 
-    n = min(len(offline), len(streamed))
+    from .audio.metrics import best_lag_rmse, log_spectral_distance, waveform_errors
+
     print(f"compare.offline_samples={len(offline)}")
     print(f"compare.stream_samples={len(streamed)}")
-    if n == 0:
+    if min(len(offline), len(streamed)) == 0:
         return 1
-    a, b = offline[:n], streamed[:n]
-    diff = a - b
-    print(f"compare.mae={np.abs(diff).mean():.8f}")
-    print(f"compare.rmse={np.sqrt((diff ** 2).mean()):.8f}")
-    print(f"compare.max_abs={np.abs(diff).max():.8f}")
-
-    # best-lag search by RMSE within +-4096 samples
-    best_lag, best_rmse = 0, float("inf")
-    for lag in range(-4096, 4097, 16):
-        if lag >= 0:
-            x, y = a[lag:], b[:len(b) - lag if lag else len(b)]
-        else:
-            x, y = a[:lag], b[-lag:]
-        m = min(len(x), len(y))
-        if m < 1000:
-            continue
-        r = float(np.sqrt(np.mean((x[:m] - y[:m]) ** 2)))
-        if r < best_rmse:
-            best_rmse, best_lag = r, lag
-    print(f"compare.best_lag_samples={best_lag}")
-    print(f"compare.best_lag_rmse={best_rmse:.8f}")
+    e = waveform_errors(offline, streamed)
+    print(f"compare.mae={e['mae']:.8f}")
+    print(f"compare.rmse={e['rmse']:.8f}")
+    print(f"compare.max_abs={e['max_abs']:.8f}")
+    print(f"compare.lsd_db={log_spectral_distance(offline, streamed):.4f}")
+    lag, r = best_lag_rmse(offline, streamed)
+    print(f"compare.best_lag_samples={lag}")
+    print(f"compare.best_lag_rmse={r:.8f}")
     return 0
 
 

@@ -188,3 +188,22 @@ def test_engine_quantized_kv(tmp_path, rng):
     a = eng.generate_tokens("int8 kv", Options(max_tokens=25, seed=42))
     b = eng.generate_tokens("int8 kv", Options(max_tokens=25, seed=42))
     assert a == b
+
+
+def test_spectral_distance_metric(rng):
+    from miotts_tpu.audio.metrics import (
+        best_lag_rmse, log_spectral_distance, waveform_errors,
+    )
+    sr = 44100
+    t = np.arange(sr) / sr
+    a = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    # identical -> ~0 LSD; different freq -> clearly larger
+    assert log_spectral_distance(a, a) < 1e-6
+    b = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    assert log_spectral_distance(a, b) > 5.0
+    e = waveform_errors(a, a)
+    assert e["rmse"] == 0.0 and e["n"] == len(a)
+    # shifted copy recovered by best-lag search
+    shift = 256
+    lag, r = best_lag_rmse(np.roll(a, shift), a, max_lag=512, step=16)
+    assert abs(lag - shift) <= 16
