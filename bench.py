@@ -33,6 +33,7 @@ _MODELS = {
     "0.4b-q4_k": dict(dim=1024, layers=24, heads=16, kv=8, ff=3072, q="q4_k"),
     "0.4b-q8_0": dict(dim=1024, layers=24, heads=16, kv=8, ff=3072, q="q8_0"),
     "1.2b-q6_k": dict(dim=2048, layers=24, heads=32, kv=8, ff=5632, q="q6_k"),
+    "2.6b-q4_k": dict(dim=2560, layers=32, heads=32, kv=8, ff=8192, q="q4_k"),
 }
 MODEL = os.environ.get("MIOTTS_BENCH_MODEL", "0.1b-q8_0").lower()
 
