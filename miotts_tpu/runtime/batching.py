@@ -149,23 +149,29 @@ class ContinuousBatcher:
             except Exception:
                 pass
 
-    def _emit(self, req: Request, is_final: bool) -> bool:
-        """Per-request commit-holdback emission — identical policy to the
-        single-stream engine (test-to-speech.cpp:507-571)."""
-        eng = self.engine
-        cfgE = eng.config
+    def _emit_policy(self, req: Request, is_final: bool):
+        """Commit-holdback decision (test-to-speech.cpp:507-522).
+
+        Returns ("decode", target) when a re-decode + emission is due,
+        ("final_cb", None) when only the final sentinel remains, or
+        ("done", ok)."""
+        cfgE = self.engine.config
         if not req.codes:
-            return not is_final
+            return ("done", not is_final)
         target = (len(req.codes) if is_final
                   else max(len(req.codes) - cfgE.holdback_codes, 0))
         if target <= req.committed:
-            if is_final:
-                return req.callback(None, eng.sample_rate, True)
-            return True
+            return ("final_cb", None) if is_final else ("done", True)
         if not is_final and (target - req.committed) < cfgE.min_commit_step_codes:
-            return True
-        audio = eng.decode_codes(req.codes, req.voice,
-                                 apply_peak_normalization=False)
+            return ("done", True)
+        return ("decode", target)
+
+    def _emit_audio(self, req: Request, audio: np.ndarray, target: int,
+                    is_final: bool) -> bool:
+        """Splice + chunked crossfaded emission of decoded audio
+        (test-to-speech.cpp:367-417,554-571)."""
+        eng = self.engine
+        cfgE = eng.config
         spc = len(audio) / len(req.codes)
         begin = int(round(req.committed * spc))
         end = min(int(round(target * spc)), len(audio))
@@ -214,6 +220,7 @@ class ContinuousBatcher:
         still_active = np.asarray(active_dev)
 
         table = self._table
+        decode_work: list[tuple[Request, int, bool]] = []
         for slot in range(self.n_slots):
             if not self.active[slot]:
                 continue
@@ -227,11 +234,31 @@ class ContinuousBatcher:
                     req.codes.append(int(code))
             hit_stop = not still_active[slot]
             out_of_budget = req.n_tokens >= getattr(req, "_max_tokens", 10 ** 9)
-            if hit_stop or out_of_budget:
-                ok = self._emit(req, True)
-                self._finish(req, ok)
+            is_final = hit_stop or out_of_budget
+            action, val = self._emit_policy(req, is_final)
+            if action == "decode":
+                decode_work.append((req, val, is_final))
+                continue
+            if action == "final_cb":
+                ok = req.callback(None, self.engine.sample_rate, True)
             else:
-                if not self._emit(req, False):
+                ok = val
+            if is_final:
+                self._finish(req, ok)
+            elif not ok:
+                self._finish(req, False)
+
+        if decode_work:
+            # ONE vmapped codec dispatch for every stream that commits this
+            # step — N concurrent emissions cost one device round-trip.
+            audios = self.engine.decode_codes_batch(
+                [r.codes for r, _, _ in decode_work],
+                [r.voice for r, _, _ in decode_work])
+            for (req, target, is_final), audio in zip(decode_work, audios):
+                ok = self._emit_audio(req, audio, target, is_final)
+                if is_final:
+                    self._finish(req, ok)
+                elif not ok:
                     self._finish(req, False)
 
     def run_until_done(self, max_iters: int = 10 ** 6) -> None:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -41,6 +42,23 @@ from .profile import StreamProfile
 
 # StreamCallback(samples_or_None, sample_rate, is_last) -> keep_going
 StreamCallback = Callable[[Optional[np.ndarray], int, bool], bool]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _codec_spec_vmapped(params, codes_b, embs_b, cfg, n_real_b):
+    """vmapped codec decode: codes [B, T], embs [B, D], n_real [B]."""
+    return jax.vmap(
+        lambda c, e, n: codec_decode_spec(params, c, e, cfg, n_real=n),
+        in_axes=(0, 0, 0))(codes_b, embs_b, n_real_b)
+
+
+@partial(jax.jit, static_argnames=("hop", "frames_per_code"))
+def _spec_audio_vmapped(lm_b, ph_b, cos_b, sin_b, hann, hop, frames_per_code,
+                        n_real_b):
+    return jax.vmap(
+        lambda lm, ph, n: spec_to_audio_bucketed(
+            lm, ph, cos_b, sin_b, hann, hop, frames_per_code, n),
+        in_axes=(0, 0, 0))(lm_b, ph_b, n_real_b)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -349,6 +367,46 @@ class TTSEngine:
             if peak > 1e-8:
                 audio = audio * (0.95 / peak)
         return audio.astype(np.float32)
+
+    def decode_codes_batch(self, codes_list: list, voices: list,
+                           profile: StreamProfile | None = None) -> list:
+        """Batched codec decode: all sequences padded to ONE bucket and
+        decoded in a single vmapped dispatch (the continuous batcher's
+        emission path — N concurrent streams cost one device round-trip
+        instead of N).  Returns a list of float PCM arrays."""
+        assert len(codes_list) == len(voices)
+        if not codes_list:
+            return []
+        cfg = self.codec_cfg
+        lens = [len(c) for c in codes_list]
+        bucket = _bucket_len(max(lens), self.config.code_bucket)
+        B = len(codes_list)
+        padded = np.zeros((B, bucket), np.int32)
+        embs = np.zeros((B, cfg.adaln_dim), np.float32)
+        for i, (c, v) in enumerate(zip(codes_list, voices)):
+            padded[i, :lens[i]] = np.asarray(c, np.int32)
+            embs[i] = v.embedding
+        n_real = jnp.asarray(lens, jnp.int32)
+
+        t0 = time.perf_counter()
+        lm, ph = _codec_spec_vmapped(self.codec_params, jnp.asarray(padded),
+                                     jnp.asarray(embs), cfg, n_real)
+        if profile:
+            lm.block_until_ready()
+        t1 = time.perf_counter()
+        audio = _spec_audio_vmapped(
+            lm, ph, self.codec_params["istft_cos_basis"],
+            self.codec_params["istft_sin_basis"],
+            self.codec_params["istft_hann"],
+            cfg.hop_length, cfg.total_upsample, n_real)
+        audio = np.asarray(audio)
+        t2 = time.perf_counter()
+        if profile:
+            profile.codec_sec += t1 - t0
+            profile.istft_sec += t2 - t1
+            profile.decode_calls += 1
+            profile.decoded_codes += sum(lens)
+        return [audio[i, : lens[i] * cfg.samples_per_token] for i in range(B)]
 
     # ------------------------------------------------------------------
     # Offline synthesis
