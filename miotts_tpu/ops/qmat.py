@@ -173,9 +173,11 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
     TILE_N = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
     TILE_K = K
     # Bound VMEM (int8 value tile <= ~512 KB) while keeping K tiles aligned
-    # to both the lane width (128, for the x block) and the quant group.
+    # to the lane width (128, for the x block) AND keeping the scales block
+    # sublane count (TILE_K // g) a multiple of 8 (Mosaic block constraint).
+    k_align = max(128, 8 * g)
     while (TILE_N * TILE_K > 512 * 1024
-           and TILE_K % 2 == 0 and (TILE_K // 2) % max(g, 128) == 0):
+           and TILE_K % 2 == 0 and (TILE_K // 2) % k_align == 0):
         TILE_K //= 2
     n_k_tiles = K // TILE_K
 
