@@ -37,8 +37,11 @@ def main() -> int:
     print(f"bench_batch: warming up (slots={n_slots})...", file=sys.stderr, flush=True)
     engine.warmup(max_codes=max_tokens, prompt_len=80)
 
+    qkv = os.environ.get("MIOTTS_BENCH_QKV", "") == "1"
+
     def run_once(tag: str):
-        batcher = ContinuousBatcher(engine, n_slots=n_slots, chunk_steps=20)
+        batcher = ContinuousBatcher(engine, n_slots=n_slots, chunk_steps=20,
+                                    quantized_kv=qkv)
         stats = {}
 
         def make_cb(i):
