@@ -50,16 +50,21 @@ class QTensor:
     """Group-affine quantized matrix, logical shape [out=N, in=K], stored
     transposed.  dequant: w[k, n] = values[k, n] * scales[k//g, n]
     - mins[k//g, n]; y = x @ w."""
-    values: jax.Array            # int8  [K, N_pad]  (N padded to 128 lanes)
+    values: jax.Array            # int8 [K, N_pad], or uint8 [K//2, N_pad]
+                                 #   when packed (two nibbles per byte:
+                                 #   low = even k, high = odd k)
     scales: jax.Array            # f32   [K // group, N_pad]
     mins: jax.Array | None       # f32   [K // group, N_pad] or None
     group: int
     n_out: int = -1              # logical output dim (un-padded N)
+    packed: bool = False         # 4-bit nibble packing (halves value HBM)
 
     @property
     def shape(self):
         """Logical [N, K] (matching the dense GGUF Linear layout)."""
         k, n = self.values.shape[-2:]
+        if self.packed:
+            k *= 2
         n = self.n_out if self.n_out > 0 else n
         return (*self.values.shape[:-2], n, k)
 
@@ -67,15 +72,16 @@ class QTensor:
         leaves = [self.values, self.scales]
         if self.mins is not None:
             leaves.append(self.mins)
-        return leaves, (self.group, self.mins is not None, self.n_out)
+        return leaves, (self.group, self.mins is not None, self.n_out,
+                        self.packed)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        group, has_mins, n_out = aux
+        group, has_mins, n_out, packed = aux
         values, scales = leaves[0], leaves[1]
         mins = leaves[2] if has_mins else None
         return cls(values=values, scales=scales, mins=mins, group=group,
-                   n_out=n_out)
+                   n_out=n_out, packed=packed)
 
     @classmethod
     def from_group_quant(cls, gq: GroupQuant, scale_dtype=jnp.float32) -> "QTensor":
@@ -95,11 +101,22 @@ class QTensor:
             n_out=n,
         )
 
+    def _unpacked_values(self):
+        """int values [K, N] (unpacks nibbles when `packed`)."""
+        if not self.packed:
+            return self.values
+        v = self.values.astype(jnp.int32)
+        lo = v & 0xF
+        hi = (v >> 4) & 0xF
+        kh, n = v.shape
+        return jnp.stack([lo, hi], axis=1).reshape(kh * 2, n)
+
     def dequant_t(self, dtype=jnp.float32) -> jax.Array:
         """Dequantized weight in storage orientation [K, N] (un-padded)."""
-        k, n = self.values.shape
+        vals = self._unpacked_values()
+        k, n = vals.shape
         g = self.group
-        v = self.values.astype(dtype).reshape(k // g, g, n)
+        v = vals.astype(dtype).reshape(k // g, g, n)
         w = v * self.scales.astype(dtype)[:, None, :]
         if self.mins is not None:
             w = w - self.mins.astype(dtype)[:, None, :]
@@ -107,6 +124,31 @@ class QTensor:
         if self.n_out > 0 and self.n_out != n:
             w = w[:, : self.n_out]
         return w
+
+    def pack4(self) -> "QTensor":
+        """Convert to packed-nibble storage (Q4 formats only): values become
+        uint8 [K/2, N] holding two 4-bit quants; centered formats (Q4_0's
+        q-8) fold the offset into the `mins` term so nibbles are unsigned.
+        Halves the dominant HBM read of the decode GEMV."""
+        if self.packed:
+            return self
+        v = np.asarray(self.values).astype(np.int32)
+        k, n = v.shape
+        assert k % 2 == 0
+        vmin = int(v.min())
+        scales = self.scales
+        mins = self.mins
+        if vmin < 0:
+            # centered quants: w = s*(q) with q in [-8, 7] -> biased q+8 with
+            # min term 8*s
+            assert vmin >= -8 and int(v.max()) <= 7, "not a 4-bit format"
+            v = v + 8
+            extra = self.scales * 8.0
+            mins = extra if mins is None else mins + extra
+        assert 0 <= int(v.min()) and int(v.max()) <= 15, "not a 4-bit format"
+        packed = (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
+        return QTensor(values=jnp.asarray(packed), scales=scales, mins=mins,
+                       group=self.group, n_out=self.n_out, packed=True)
 
     def dequant(self, dtype=jnp.float32) -> jax.Array:
         """Dequantized weight in logical [N, K] orientation (tests/debug)."""
@@ -138,17 +180,28 @@ def _qdot_xla(x: jax.Array, qt: QTensor) -> jax.Array:
 # Pallas path
 # ---------------------------------------------------------------------------
 
-def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles):
-    """Grid (n_tiles, k_tiles).  Blocks: x [M, K_t], v int8 [K_t, N_t],
-    s [K_t//g, N_t], out [M, N_t], acc f32 scratch [M, N_t]."""
+def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
+                 packed):
+    """Grid (n_tiles, k_tiles).  Blocks: x [M, K_t], v int8 [K_t, N_t] (or
+    uint8 [K_t/2, N_t] nibble-packed), s [K_t//g, N_t], out [M, N_t],
+    acc f32 scratch [M, N_t]."""
     k_idx = pl.program_id(1)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    k_t, n_t = v_ref.shape
-    v = v_ref[:].astype(jnp.float32)
+    if packed:
+        vp = v_ref[:].astype(jnp.int32)
+        kh, n_t = vp.shape
+        lo = vp & 0xF
+        hi = (vp >> 4) & 0xF
+        # interleave along sublanes (lane dim untouched -> Mosaic-legal)
+        v = jnp.stack([lo, hi], axis=1).reshape(kh * 2, n_t).astype(jnp.float32)
+        k_t = kh * 2
+    else:
+        v = v_ref[:].astype(jnp.float32)
+        k_t, n_t = v.shape
     s = s_ref[:]
     # dequant: group runs along sublanes; lane dim (N_t) untouched
     w = (v.reshape(k_t // group, group, n_t) * s[:, None, :]).reshape(k_t, n_t)
@@ -167,27 +220,29 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
     Affine formats (mins) add x-group-sums @ mins as a small correction
     matmul outside the kernel."""
     M, K = x.shape
-    _, N = qt.values.shape
+    N = qt.values.shape[1]
     g = qt.group
+    pack_div = 2 if qt.packed else 1
 
     TILE_N = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
     TILE_K = K
-    # Bound VMEM (int8 value tile <= ~512 KB) while keeping K tiles aligned
-    # to the lane width (128, for the x block) AND keeping the scales block
-    # sublane count (TILE_K // g) a multiple of 8 (Mosaic block constraint).
-    k_align = max(128, 8 * g)
-    while (TILE_N * TILE_K > 512 * 1024
+    # Bound VMEM (value tile <= ~512 KB) while keeping K tiles aligned to
+    # the lane width (128, for the x block), the scales block sublane count
+    # (TILE_K // g) a multiple of 8, and the packed value block sublane
+    # count (TILE_K // 2) a multiple of 32 (int8/uint8 tiling).
+    k_align = max(128, 8 * g, 64 * pack_div)
+    while (TILE_N * TILE_K // pack_div > 512 * 1024
            and TILE_K % 2 == 0 and (TILE_K // 2) % k_align == 0):
         TILE_K //= 2
     n_k_tiles = K // TILE_K
 
     xf = x.astype(jnp.float32)
     out = pl.pallas_call(
-        partial(_qdot_kernel, group=g, n_k_tiles=n_k_tiles),
+        partial(_qdot_kernel, group=g, n_k_tiles=n_k_tiles, packed=qt.packed),
         grid=(N // TILE_N, n_k_tiles),
         in_specs=[
             pl.BlockSpec((M, TILE_K), lambda i, j: (0, j)),
-            pl.BlockSpec((TILE_K, TILE_N), lambda i, j: (j, i)),
+            pl.BlockSpec((TILE_K // pack_div, TILE_N), lambda i, j: (j, i)),
             pl.BlockSpec((TILE_K // g, TILE_N), lambda i, j: (j, i)),
         ],
         out_specs=pl.BlockSpec((M, TILE_N), lambda i, j: (0, i)),
@@ -212,15 +267,32 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
 # ---------------------------------------------------------------------------
 
 def qtensor_from_raw(raw: np.ndarray, ggml_type: int, rows: int, cols: int,
-                     scale_dtype=jnp.float32) -> QTensor:
+                     scale_dtype=jnp.float32, pack4: bool | None = None) -> QTensor:
     """Raw GGUF blocks -> device QTensor, preferring the native C++ repack
     (native/miotts_native.cpp) which writes the transposed planar layout
-    directly; falls back to the numpy reference path."""
+    directly; falls back to the numpy reference path.
+
+    4-bit formats (Q4_K / Q4_0) default to packed-nibble device storage —
+    two quants per byte, halving the dominant HBM read of the decode GEMV
+    (disable with MIOTTS_NO_PACK4=1 or pack4=False)."""
     from ..gguf import native as _native
-    from ..gguf.reader import GGML_Q4_K, GGML_Q6_K, GGML_Q8_0
+    from ..gguf.reader import GGML_Q4_0, GGML_Q4_K, GGML_Q6_K, GGML_Q8_0
     from ..gguf.quants import to_group_quant
 
-    def finish(values_t, scales_t, mins_t, group):
+    if pack4 is None:
+        pack4 = (ggml_type in (GGML_Q4_K, GGML_Q4_0) and cols % 2 == 0
+                 and not os.environ.get("MIOTTS_NO_PACK4"))
+
+    def finish(values_t, scales_t, mins_t, group, bias4=False):
+        packed = False
+        if pack4:
+            v = values_t.astype(np.int16)
+            if bias4:  # centered [-8, 7] -> biased nibbles + min fold
+                v = v + 8
+                extra = scales_t * 8.0
+                mins_t = extra if mins_t is None else mins_t + extra
+            values_t = (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
+            packed = True
         n_pad = (-rows) % 128
         if n_pad:
             values_t = np.pad(values_t, ((0, 0), (0, n_pad)))
@@ -231,7 +303,7 @@ def qtensor_from_raw(raw: np.ndarray, ggml_type: int, rows: int, cols: int,
             values=jnp.asarray(values_t),
             scales=jnp.asarray(scales_t, scale_dtype),
             mins=None if mins_t is None else jnp.asarray(mins_t, scale_dtype),
-            group=group, n_out=rows)
+            group=group, n_out=rows, packed=packed)
 
     if _native.available():
         if ggml_type == GGML_Q8_0:
@@ -243,8 +315,11 @@ def qtensor_from_raw(raw: np.ndarray, ggml_type: int, rows: int, cols: int,
         if ggml_type == GGML_Q4_K:
             v, s, m = _native.repack_q4_k_t(raw, rows, cols)
             return finish(v, s, m, 32)
-    return QTensor.from_group_quant(to_group_quant(raw, ggml_type, rows, cols),
-                                    scale_dtype)
+    gq = to_group_quant(raw, ggml_type, rows, cols)
+    qt = QTensor.from_group_quant(gq, scale_dtype)
+    if pack4:
+        qt = qt.pack4()
+    return qt
 
 
 def concat_qtensors(tensors: list) -> "QTensor | jax.Array":
@@ -260,6 +335,8 @@ def concat_qtensors(tensors: list) -> "QTensor | jax.Array":
     assert all(t.group == g for t in tensors)
     has_mins = tensors[0].mins is not None
     assert all((t.mins is not None) == has_mins for t in tensors)
+    packed = tensors[0].packed
+    assert all(t.packed == packed for t in tensors)
 
     def unpad(a, t):
         n = t.n_out if t.n_out > 0 else a.shape[1]
@@ -276,7 +353,8 @@ def concat_qtensors(tensors: list) -> "QTensor | jax.Array":
         scales = jnp.pad(scales, ((0, 0), (0, n_pad)))
         if mins is not None:
             mins = jnp.pad(mins, ((0, 0), (0, n_pad)))
-    return QTensor(values=values, scales=scales, mins=mins, group=g, n_out=n)
+    return QTensor(values=values, scales=scales, mins=mins, group=g, n_out=n,
+                   packed=packed)
 
 
 def qdot(x: jax.Array, w) -> jax.Array:

@@ -59,3 +59,54 @@ def test_qdot_pallas_interpret_matches_xla(gtype, rng):
     want = np.asarray(_qdot_xla(x, qt))
     got = np.asarray(_qdot_pallas(x, qt, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("gtype", [GGML_Q4_K])
+def test_pack4_dequant_identical(gtype, rng):
+    """Packed-nibble storage dequantizes identically to unpacked."""
+    qt, ref = _make_qt(gtype, 16, 512, rng)
+    qp = qt.pack4()
+    assert qp.packed and qp.values.shape == (256, qt.values.shape[1])
+    np.testing.assert_allclose(np.asarray(qp.dequant()),
+                               np.asarray(qt.dequant()), atol=1e-6)
+
+
+def test_pack4_centered_format(rng):
+    """Q4_0 (centered quants) folds the -8 offset into mins when packing."""
+    from miotts_tpu.gguf import GGML_Q4_0
+    qt, ref = _make_qt(GGML_Q4_0, 8, 512, rng)
+    assert qt.mins is None
+    qp = qt.pack4()
+    assert qp.mins is not None
+    np.testing.assert_allclose(np.asarray(qp.dequant()),
+                               np.asarray(qt.dequant()), atol=1e-5)
+
+
+def test_pack4_qdot_matches(rng):
+    qt, ref = _make_qt(GGML_Q4_K, 128, 512, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.float32)
+    a = np.asarray(qdot(x, qt))
+    b = np.asarray(qdot(x, qp))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+def test_pack4_pallas_interpret(rng):
+    qt, _ = _make_qt(GGML_Q4_K, 256, 512, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    want = np.asarray(_qdot_xla(x, qp))
+    got = np.asarray(_qdot_pallas(x, qp, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_qtensor_from_raw_packs_q4(rng):
+    from miotts_tpu.ops.qmat import qtensor_from_raw
+    from miotts_tpu.gguf.quants import quantize
+    w = rng.standard_normal((16, 512)).astype(np.float32)
+    raw = np.frombuffer(quantize(w, GGML_Q4_K), dtype=np.uint8)
+    qt = qtensor_from_raw(raw, GGML_Q4_K, 16, 512)
+    assert qt.packed
+    from miotts_tpu.gguf.quants import dequantize
+    ref = dequantize(raw, GGML_Q4_K, 16 * 512).reshape(16, 512)
+    np.testing.assert_allclose(np.asarray(qt.dequant()), ref, atol=1e-5)
