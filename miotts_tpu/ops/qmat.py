@@ -202,7 +202,7 @@ def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
     else:
         v = v_ref[:].astype(jnp.float32)
         k_t, n_t = v.shape
-    s = s_ref[:]
+    s = s_ref[:].astype(jnp.float32)
     # dequant: group runs along sublanes; lane dim (N_t) untouched
     w = (v.reshape(k_t // group, group, n_t) * s[:, None, :]).reshape(k_t, n_t)
     acc_ref[:] += jax.lax.dot_general(
@@ -255,7 +255,7 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
         # correction: sum_k x_k * min_{k//g} = (x group-sums) @ mins
         xg = xf.reshape(M, K // g, g).sum(axis=2)
         out = out - jax.lax.dot_general(
-            xg, qt.mins, (((1,), (0,)), ((), ())),
+            xg, qt.mins.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     if qt.n_out > 0 and qt.n_out != N:
         out = out[:, : qt.n_out]

@@ -110,3 +110,20 @@ def test_qtensor_from_raw_packs_q4(rng):
     from miotts_tpu.gguf.quants import dequantize
     ref = dequantize(raw, GGML_Q4_K, 16 * 512).reshape(16, 512)
     np.testing.assert_allclose(np.asarray(qt.dequant()), ref, atol=1e-5)
+
+
+def test_bf16_scales_accuracy(rng):
+    """bf16 group scales keep error far below the 4-bit quantization noise."""
+    from miotts_tpu.ops.qmat import qtensor_from_raw
+    from miotts_tpu.gguf.quants import dequantize, quantize
+    w = rng.standard_normal((16, 512)).astype(np.float32)
+    raw = np.frombuffer(quantize(w, GGML_Q4_K), dtype=np.uint8)
+    ref = dequantize(raw, GGML_Q4_K, 16 * 512).reshape(16, 512)
+    qt = qtensor_from_raw(raw, GGML_Q4_K, 16, 512, scale_dtype=jnp.bfloat16)
+    got = np.asarray(qt.dequant())
+    # relative scale rounding ~2^-9; absolute tolerance scaled by magnitude
+    np.testing.assert_allclose(got, ref, atol=3e-2)
+    x = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    y = np.asarray(qdot(x, qt))
+    want = np.asarray(x) @ ref.T
+    assert np.abs(y - want).max() / (np.abs(want).max() + 1e-9) < 0.02
