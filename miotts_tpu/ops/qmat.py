@@ -51,8 +51,12 @@ class QTensor:
     transposed.  dequant: w[k, n] = values[k, n] * scales[k//g, n]
     - mins[k//g, n]; y = x @ w."""
     values: jax.Array            # int8 [K, N_pad], or uint8 [K//2, N_pad]
-                                 #   when packed (two nibbles per byte:
-                                 #   low = even k, high = odd k)
+                                 #   when packed: two nibbles per byte,
+                                 #   split per quant group (low = row r,
+                                 #   high = row r + g/2 within each group)
+                                 #   so the unpack is a per-group block
+                                 #   concat (no sublane interleave) and
+                                 #   survives any group-aligned K tiling
     scales: jax.Array            # f32   [K // group, N_pad]
     mins: jax.Array | None       # f32   [K // group, N_pad] or None
     group: int
@@ -105,11 +109,12 @@ class QTensor:
         """int values [K, N] (unpacks nibbles when `packed`)."""
         if not self.packed:
             return self.values
-        v = self.values.astype(jnp.int32)
+        g = self.group
+        kh, n = self.values.shape
+        v = self.values.astype(jnp.int32).reshape(kh * 2 // g, g // 2, n)
         lo = v & 0xF
         hi = (v >> 4) & 0xF
-        kh, n = v.shape
-        return jnp.stack([lo, hi], axis=1).reshape(kh * 2, n)
+        return jnp.concatenate([lo, hi], axis=1).reshape(kh * 2, n)
 
     def dequant_t(self, dtype=jnp.float32) -> jax.Array:
         """Dequantized weight in storage orientation [K, N] (un-padded)."""
@@ -146,7 +151,10 @@ class QTensor:
             extra = self.scales * 8.0
             mins = extra if mins is None else mins + extra
         assert 0 <= int(v.min()) and int(v.max()) <= 15, "not a 4-bit format"
-        packed = (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
+        g = self.group
+        v3 = v.reshape(k // g, g, n)
+        packed = (v3[:, : g // 2] | (v3[:, g // 2:] << 4))
+        packed = packed.reshape(k // 2, n).astype(np.uint8)
         return QTensor(values=jnp.asarray(packed), scales=scales, mins=mins,
                        group=self.group, n_out=self.n_out, packed=True)
 
@@ -194,11 +202,13 @@ def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
     if packed:
         vp = v_ref[:].astype(jnp.int32)
         kh, n_t = vp.shape
-        lo = vp & 0xF
-        hi = (vp >> 4) & 0xF
-        # interleave along sublanes (lane dim untouched -> Mosaic-legal)
-        v = jnp.stack([lo, hi], axis=1).reshape(kh * 2, n_t).astype(jnp.float32)
         k_t = kh * 2
+        v3 = vp.reshape(k_t // group, group // 2, n_t)
+        lo = v3 & 0xF
+        hi = (v3 >> 4) & 0xF
+        # per-group half-split order -> unpack is a group-local block
+        # concat (no sublane interleave)
+        v = jnp.concatenate([lo, hi], axis=1).reshape(k_t, n_t).astype(jnp.float32)
     else:
         v = v_ref[:].astype(jnp.float32)
         k_t, n_t = v.shape
@@ -280,8 +290,11 @@ def qtensor_from_raw(raw: np.ndarray, ggml_type: int, rows: int, cols: int,
     from ..gguf.quants import to_group_quant
 
     if pack4 is None:
+        # Measured on v5e: the unpacked int8 kernel already runs at HBM
+        # speed-of-light (~880 GB/s) and the nibble unpack costs more VPU
+        # time than the halved read saves, so packing is opt-in.
         pack4 = (ggml_type in (GGML_Q4_K, GGML_Q4_0) and cols % 2 == 0
-                 and not os.environ.get("MIOTTS_NO_PACK4"))
+                 and bool(os.environ.get("MIOTTS_PACK4")))
 
     def finish(values_t, scales_t, mins_t, group, bias4=False):
         packed = False
@@ -291,7 +304,10 @@ def qtensor_from_raw(raw: np.ndarray, ggml_type: int, rows: int, cols: int,
                 v = v + 8
                 extra = scales_t * 8.0
                 mins_t = extra if mins_t is None else mins_t + extra
-            values_t = (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
+            kk, nn = v.shape
+            v3 = v.reshape(kk // group, group, nn)
+            values_t = (v3[:, : group // 2] | (v3[:, group // 2:] << 4))
+            values_t = values_t.reshape(kk // 2, nn).astype(np.uint8)
             packed = True
         n_pad = (-rows) % 128
         if n_pad:

@@ -105,7 +105,12 @@ def test_qtensor_from_raw_packs_q4(rng):
     from miotts_tpu.gguf.quants import quantize
     w = rng.standard_normal((16, 512)).astype(np.float32)
     raw = np.frombuffer(quantize(w, GGML_Q4_K), dtype=np.uint8)
-    qt = qtensor_from_raw(raw, GGML_Q4_K, 16, 512)
+    import os
+    os.environ["MIOTTS_PACK4"] = "1"
+    try:
+        qt = qtensor_from_raw(raw, GGML_Q4_K, 16, 512)
+    finally:
+        del os.environ["MIOTTS_PACK4"]
     assert qt.packed
     from miotts_tpu.gguf.quants import dequantize
     ref = dequantize(raw, GGML_Q4_K, 16 * 512).reshape(16, 512)
