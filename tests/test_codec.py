@@ -103,3 +103,30 @@ def test_conv_transpose_trim_lengths(tiny_codec, rng):
         trimmed = raw - 2 * ((k - f) // 2)
         assert trimmed == S * f
         S = S * f
+
+
+def test_codec_stages_match_committed_goldens():
+    """Regression pin: the tiny-fixture codec stages must match the
+    committed goldens bit-closely (SURVEY.md §4.1 golden strategy) — any
+    numerical change to the decoder math trips this."""
+    import os
+    golden_path = os.path.join(os.path.dirname(__file__), "goldens",
+                               "codec_stages_tiny.npz")
+    from miotts_tpu.models.codec import codec_decode_stages
+    from miotts_tpu.models.synthetic import write_synthetic_codec
+    from miotts_tpu.gguf import GGUFReader
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "c.gguf")
+        write_synthetic_codec(path, n_codes=64, seed=3)
+        with GGUFReader(path) as r:
+            from miotts_tpu.models.codec import load_codec_params
+            params, cfg = load_codec_params(r)
+    codes = [1, 5, 9, 13, 17, 21, 25, 29]
+    emb = np.linspace(-0.5, 0.5, cfg.adaln_dim).astype(np.float32)
+    stages, _ = codec_decode_stages(params, codes, emb, cfg)
+    golden = np.load(golden_path)
+    assert set(golden.files) == set(stages.keys())
+    for name in golden.files:
+        np.testing.assert_allclose(stages[name], golden[name], atol=1e-5,
+                                   err_msg=f"stage {name} diverged from golden")
