@@ -66,12 +66,17 @@ class ContinuousBatcher:
 
     def __init__(self, engine: TTSEngine, n_slots: int = 8,
                  chunk_steps: int = 20, quantized_kv: bool = False,
-                 ctx_len: int | None = None):
+                 ctx_len: int | None = None, mesh=None):
+        """`mesh`: optional jax Mesh for sharded serving — the KV cache
+        batch dim goes over 'data' and heads over 'model'
+        (parallel/sharding.py); pair with engine.llm_params already sharded
+        via shard_llm_params.  The scheduler itself is sharding-agnostic."""
         assert engine.llm_params is not None, "batching needs the LLM"
         self.engine = engine
         self.cfg = engine.llm_cfg
         self.n_slots = n_slots
         self.chunk_steps = chunk_steps
+        self.mesh = mesh
         if ctx_len is None:
             # geometric bucket of prompt-bucket + token budget: per-step
             # attention traffic scales with this length, not n_ctx
@@ -84,6 +89,12 @@ class ContinuousBatcher:
         self.cache = init_kv_cache(self.cfg, n_slots, ctx_len,
                                    dtype=dtype, quantized=quantized_kv)
         self.last_logits = jnp.zeros((n_slots, self.cfg.n_vocab), jnp.float32)
+        if mesh is not None:
+            from ..parallel.sharding import shard_kv_cache
+            from jax.sharding import NamedSharding, PartitionSpec as Psp
+            self.cache = shard_kv_cache(self.cache, mesh)
+            self.last_logits = jax.device_put(
+                self.last_logits, NamedSharding(mesh, Psp("data", None)))
         self.active = np.zeros(n_slots, bool)
         self.slot_req: list[Optional[Request]] = [None] * n_slots
         self.waiting: deque[Request] = deque()

@@ -117,3 +117,37 @@ def test_batched_matches_single_stream_tokens(engine):
     assert len(captured[0]) <= 30
     for c in captured[0]:
         assert 0 <= c < 64
+
+
+def test_sharded_serving_end_to_end(engine):
+    """Full TP+DP serving: params sharded over ('data','model'), batched KV
+    cache sharded over slots+heads, continuous batcher runs to completion
+    on the virtual 8-device mesh."""
+    import jax
+    from miotts_tpu.parallel.mesh import make_mesh
+    from miotts_tpu.parallel.sharding import shard_llm_params
+
+    eng, voice = engine
+    mesh = make_mesh(data=2, model=4)
+    orig_params = eng.llm_params
+    try:
+        with jax.set_mesh(mesh):
+            eng.llm_params = shard_llm_params(orig_params, mesh, eng.llm_cfg)
+            batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10,
+                                        mesh=mesh)
+            done = []
+
+            def cb_factory(i):
+                def cb(samples, sr, is_last):
+                    if is_last:
+                        done.append(i)
+                    return True
+                return cb
+
+            for i in range(3):
+                batcher.submit(f"sharded {i}", voice, cb_factory(i),
+                               Options(max_tokens=25, temperature=1.0))
+            batcher.run_until_done(max_iters=100)
+            assert batcher.pending == 0
+    finally:
+        eng.llm_params = orig_params
