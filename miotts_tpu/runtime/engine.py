@@ -493,7 +493,13 @@ class TTSEngine:
             return True
 
         if options.skip_llm:
-            audio = self.decode_codes(parse_speech_tokens(text), voice,
+            codes0 = parse_speech_tokens(text)
+            if not codes0:
+                # reference: decode fails on empty parse, no final callback
+                # (test-to-speech.cpp:419-423 via decode_tokens_to_audio)
+                profile.total_sec = time.perf_counter() - t_total0
+                return False
+            audio = self.decode_codes(codes0, voice,
                                       apply_peak_normalization=False,
                                       profile=profile)
             ok = emit_range(audio, 0, len(audio), True)
