@@ -416,19 +416,29 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
     q = _rope(q, pos, cfg.rope_theta, cfg.rope_style)
     k = _rope(k, pos, cfg.rope_theta, cfg.rope_style)
 
-    # Scatter k/v into the cache at their absolute positions.
-    b_idx = jnp.arange(B)[:, None] + jnp.zeros_like(pos)
+    # Write k/v into the cache at their absolute positions.  For a single
+    # sequence the write is a dynamic_update_slice (cheap contiguous copy);
+    # batched decode uses a scatter since per-slot positions differ.
     lcache = dict(lcache)
+
+    def write(buf, val):
+        val = val.astype(buf.dtype)
+        if B == 1 and S == 1:
+            start = (jnp.int32(0), pos[0, 0]) + (0,) * (buf.ndim - 2)
+            return jax.lax.dynamic_update_slice(buf, val, start)
+        b_idx = jnp.arange(B)[:, None] + jnp.zeros_like(pos)
+        return buf.at[b_idx, pos].set(val)
+
     if quantized:
         kq, ks = _kv_quantize(k.astype(jnp.float32))
         vq, vs = _kv_quantize(v.astype(jnp.float32))
-        lcache["k"] = lcache["k"].at[b_idx, pos].set(kq)
-        lcache["v"] = lcache["v"].at[b_idx, pos].set(vq)
-        lcache["k_scale"] = lcache["k_scale"].at[b_idx, pos].set(ks)
-        lcache["v_scale"] = lcache["v_scale"].at[b_idx, pos].set(vs)
+        lcache["k"] = write(lcache["k"], kq)
+        lcache["v"] = write(lcache["v"], vq)
+        lcache["k_scale"] = write(lcache["k_scale"], ks)
+        lcache["v_scale"] = write(lcache["v_scale"], vs)
     else:
-        lcache["k"] = lcache["k"].at[b_idx, pos].set(k.astype(lcache["k"].dtype))
-        lcache["v"] = lcache["v"].at[b_idx, pos].set(v.astype(lcache["v"].dtype))
+        lcache["k"] = write(lcache["k"], k)
+        lcache["v"] = write(lcache["v"], v)
     new_fill = jnp.maximum(fill, pos[:, -1] + 1)
 
     attn = _attend(q, lcache["k"], lcache["v"], new_fill, pos,

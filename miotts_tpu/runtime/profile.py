@@ -63,4 +63,6 @@ class StreamProfile:
         }
         if self.first_audio_sec >= 0:
             m["stream_bench.first_audio_sec"] = self.first_audio_sec
+        if self.prefill_sec > 0:
+            m["stream_bench.stage.prefill_sec"] = self.prefill_sec
         return m
