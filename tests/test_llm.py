@@ -229,3 +229,116 @@ def test_int8_kv_cache_matches_f32(tmp_path, rng):
     s_q, _ = llm_decode_step(params, nt, c_q, cfg)
     a, b = np.asarray(s_f), np.asarray(s_q)
     assert np.abs(a - b).max() / (np.abs(a).max() + 1e-6) < 0.02
+
+
+@pytest.mark.slow
+def test_hf_qwen3_parity(tmp_path, rng):
+    """Qwen3 semantics (per-head QK RMS norms, no biases) vs HF."""
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+    except ImportError:
+        pytest.skip("transformers lacks Qwen3")
+
+    n_vocab = 256 + 3 + 16
+    hf_cfg = Qwen3Config(
+        vocab_size=n_vocab, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False, attention_dropout=0.0,
+    )
+    torch.manual_seed(1)
+    model = Qwen3ForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    weights = {
+        "token_embd.weight": sd["model.embed_tokens.weight"],
+        "output_norm.weight": sd["model.norm.weight"],
+        "output.weight": sd["lm_head.weight"],
+    }
+    for i in range(2):
+        h = f"model.layers.{i}."
+        g = f"blk.{i}."
+        weights[g + "attn_norm.weight"] = sd[h + "input_layernorm.weight"]
+        weights[g + "attn_q.weight"] = sd[h + "self_attn.q_proj.weight"]
+        weights[g + "attn_k.weight"] = sd[h + "self_attn.k_proj.weight"]
+        weights[g + "attn_v.weight"] = sd[h + "self_attn.v_proj.weight"]
+        weights[g + "attn_output.weight"] = sd[h + "self_attn.o_proj.weight"]
+        weights[g + "attn_q_norm.weight"] = sd[h + "self_attn.q_norm.weight"]
+        weights[g + "attn_k_norm.weight"] = sd[h + "self_attn.k_norm.weight"]
+        weights[g + "ffn_norm.weight"] = sd[h + "post_attention_layernorm.weight"]
+        weights[g + "ffn_gate.weight"] = sd[h + "mlp.gate_proj.weight"]
+        weights[g + "ffn_up.weight"] = sd[h + "mlp.up_proj.weight"]
+        weights[g + "ffn_down.weight"] = sd[h + "mlp.down_proj.weight"]
+
+    cfg0 = synthetic_llm_config(n_speech=16, arch="qwen3")
+    params, cfg, r = _build(tmp_path, GGML_F32, weights=weights, cfg=cfg0,
+                            arch="qwen3")
+    r.close()
+
+    toks = rng.integers(0, n_vocab, (1, 7)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(toks)).logits.numpy()
+    pos = jnp.broadcast_to(jnp.arange(7), (1, 7))
+    ours, _ = llm_forward(params, jnp.asarray(toks, jnp.int32), pos,
+                          init_kv_cache(cfg, 1, 16, dtype=jnp.float32), cfg)
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_hf_llama_parity(tmp_path, rng):
+    """llama arch uses interleaved ('norm') RoPE on GGUF weights that the
+    converter PERMUTES from HF's half-split layout
+    (convert_hf_to_gguf permute); applying the same permutation here must
+    reproduce HF logits."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    n_vocab = 256 + 3 + 16
+    hf_cfg = LlamaConfig(
+        vocab_size=n_vocab, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attention_dropout=0.0, attention_bias=False,
+    )
+    torch.manual_seed(2)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    def permute(w, n_head):
+        # llama.cpp convert_hf_to_gguf: half-split -> interleaved rope layout
+        s = w.shape
+        return (w.reshape(n_head, 2, s[0] // n_head // 2, *s[1:])
+                 .swapaxes(1, 2).reshape(s))
+
+    weights = {
+        "token_embd.weight": sd["model.embed_tokens.weight"],
+        "output_norm.weight": sd["model.norm.weight"],
+        "output.weight": sd["lm_head.weight"],
+    }
+    for i in range(2):
+        h = f"model.layers.{i}."
+        g = f"blk.{i}."
+        weights[g + "attn_norm.weight"] = sd[h + "input_layernorm.weight"]
+        weights[g + "attn_q.weight"] = permute(sd[h + "self_attn.q_proj.weight"], 4)
+        weights[g + "attn_k.weight"] = permute(sd[h + "self_attn.k_proj.weight"], 2)
+        weights[g + "attn_v.weight"] = sd[h + "self_attn.v_proj.weight"]
+        weights[g + "attn_output.weight"] = sd[h + "self_attn.o_proj.weight"]
+        weights[g + "ffn_norm.weight"] = sd[h + "post_attention_layernorm.weight"]
+        weights[g + "ffn_gate.weight"] = sd[h + "mlp.gate_proj.weight"]
+        weights[g + "ffn_up.weight"] = sd[h + "mlp.up_proj.weight"]
+        weights[g + "ffn_down.weight"] = sd[h + "mlp.down_proj.weight"]
+
+    cfg0 = synthetic_llm_config(n_speech=16, arch="llama")
+    params, cfg, r = _build(tmp_path, GGML_F32, weights=weights, cfg=cfg0,
+                            arch="llama")
+    r.close()
+    assert cfg.rope_style == "norm"
+
+    toks = rng.integers(0, n_vocab, (1, 7)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(toks)).logits.numpy()
+    pos = jnp.broadcast_to(jnp.arange(7), (1, 7))
+    ours, _ = llm_forward(params, jnp.asarray(toks, jnp.int32), pos,
+                          init_kv_cache(cfg, 1, 16, dtype=jnp.float32), cfg)
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-3, atol=2e-3)
