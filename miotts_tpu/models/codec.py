@@ -142,7 +142,16 @@ class CodecConfig:
 # Primitive ops (all take [T, features] activations, mask [T] validity)
 # ---------------------------------------------------------------------------
 
-_DOT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+# Exact mode (default) keeps every matmul in full f32 (3-pass MXU) for
+# bit-level parity with the reference math; MIOTTS_CODEC_FAST=1 drops to the
+# TPU-native bf16-input matmul (~3x matmul throughput, ~1e-3 relative error —
+# far below the codec's own quantization noise).  Parity tests always run
+# exact mode (conftest does not set the env).
+import os as _os
+
+_PRECISION = (jax.lax.Precision.DEFAULT if _os.environ.get("MIOTTS_CODEC_FAST")
+              else jax.lax.Precision.HIGHEST)
+_DOT = dict(preferred_element_type=jnp.float32, precision=_PRECISION)
 
 
 def _linear(x, w, b=None):
@@ -245,7 +254,7 @@ def _conv1d_same(x, w, b, mask):
         window_strides=(1,), padding=[(1, 1)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
     )[0]
     if b is not None:
         y = y + b
@@ -268,7 +277,7 @@ def _conv_transpose1d(x, w, b, stride, mask):
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
     )[0]
     if b is not None:
         y = y + b
