@@ -182,3 +182,33 @@ def test_lfm2_engine_end_to_end(tmp_path, rng):
     assert len(ids) <= 30
     ids2 = eng.generate_tokens("hello lfm2", Options(max_tokens=30, seed=42))
     assert ids == ids2
+
+
+def test_lfm2_continuous_batching(tmp_path, rng):
+    """Hybrid arch through the batcher: per-slot conv states slice/update
+    correctly alongside the KV cache."""
+    from miotts_tpu.gguf import write_voice_embedding
+    from miotts_tpu.models.synthetic import write_synthetic_codec
+    from miotts_tpu.runtime.batching import ContinuousBatcher
+    from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
+
+    llm_path = str(tmp_path / "lfm2b.gguf")
+    write_synthetic_llm(llm_path, cfg=_lfm2_cfg(256 + 3 + 64), seed=9)
+    codec_path = str(tmp_path / "codec.gguf")
+    ccfg = write_synthetic_codec(codec_path, n_codes=64, seed=3)
+    emb_path = str(tmp_path / "v.emb.gguf")
+    write_voice_embedding(emb_path, rng.standard_normal(ccfg.adaln_dim) * 0.3)
+
+    eng = TTSEngine(EngineConfig(model_path=llm_path, codec_path=codec_path,
+                                 max_tokens=30, llm_dtype="float32",
+                                 prompt_bucket=32, code_bucket=16))
+    voice = VoiceModel(emb_path)
+    batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10)
+    assert "conv" in batcher.cache
+    done = []
+    for i in range(3):
+        batcher.submit(f"lfm2 {i}", voice,
+                       lambda s, sr, last, i=i: (done.append(i) if last else None) or True,
+                       Options(max_tokens=20, temperature=1.0))
+    batcher.run_until_done(max_iters=100)
+    assert batcher.pending == 0
