@@ -18,3 +18,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (importing the runtime pulls in jax; keep
+    # `import miotts_tpu` light for tools that only need gguf/text).
+    if name in ("TTSEngine", "EngineConfig", "Options", "VoiceModel"):
+        from .runtime import engine as _e
+        return getattr(_e, name)
+    if name == "ContinuousBatcher":
+        from .runtime.batching import ContinuousBatcher
+        return ContinuousBatcher
+    raise AttributeError(name)
