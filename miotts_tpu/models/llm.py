@@ -727,9 +727,51 @@ def llm_generate_chunk(params: dict, last_logits: jax.Array, cache: dict,
 def sample_token(logits: jax.Array, temperature: jax.Array,
                  key: jax.Array) -> jax.Array:
     """Temperature + categorical sampling on device; temperature <= 0 means
-    greedy.  logits: [B, V] f32 -> [B] i32."""
+    greedy.  logits: [B, V] f32 -> [B] i32.  (The reference's sampler chain
+    is exactly temp + seeded dist, test-to-speech.cpp:127-130.)"""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)
+    keys = jax.random.split(key, logits.shape[0])
+    sampled = jax.vmap(lambda k, l: jax.random.categorical(k, l))(keys, scaled)
+    return jnp.where(temperature > 0, sampled.astype(jnp.int32), greedy)
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def sample_token_filtered(logits: jax.Array, temperature: jax.Array,
+                          key: jax.Array, top_k: int = 0,
+                          top_p: jax.Array | None = None,
+                          min_p: jax.Array | None = None) -> jax.Array:
+    """Serving-grade sampler: temperature + optional top-k / nucleus (top-p)
+    / min-p filtering, all on device (extends the reference's temp-only
+    chain with llama.cpp's common sampler stages).  logits [B, V] -> [B].
+
+    top_k: static int (0 = off); top_p in (0, 1]; min_p relative threshold.
+    """
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+
+    if top_k and top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+
+    if min_p is not None:
+        # keep tokens with prob >= min_p * max_prob  <=>  logit >= max_logit
+        # + log(min_p)
+        mx = jnp.max(scaled, axis=-1, keepdims=True)
+        scaled = jnp.where(scaled >= mx + jnp.log(jnp.maximum(min_p, 1e-9)),
+                           scaled, -jnp.inf)
+
+    if top_p is not None:
+        probs = jax.nn.softmax(scaled, axis=-1)
+        order = jnp.argsort(-probs, axis=-1)
+        sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+        csum = jnp.cumsum(sorted_p, axis=-1)
+        # keep the smallest prefix with mass >= top_p (always keep rank 0)
+        keep_sorted = (csum - sorted_p) < top_p
+        keep = jnp.zeros_like(keep_sorted).at[
+            jnp.arange(probs.shape[0])[:, None], order].set(keep_sorted)
+        scaled = jnp.where(keep, scaled, -jnp.inf)
+
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     keys = jax.random.split(key, logits.shape[0])
     sampled = jax.vmap(lambda k, l: jax.random.categorical(k, l))(keys, scaled)
     return jnp.where(temperature > 0, sampled.astype(jnp.int32), greedy)

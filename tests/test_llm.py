@@ -342,3 +342,31 @@ def test_hf_llama_parity(tmp_path, rng):
     ours, _ = llm_forward(params, jnp.asarray(toks, jnp.int32), pos,
                           init_kv_cache(cfg, 1, 16, dtype=jnp.float32), cfg)
     np.testing.assert_allclose(np.asarray(ours), hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_filtered_sampling(rng):
+    from miotts_tpu.models.llm import sample_token_filtered
+    logits = jnp.asarray(rng.standard_normal((2, 100)) * 3, jnp.float32)
+    k = jax.random.PRNGKey(0)
+    # top-k=1 == greedy regardless of temperature
+    t = sample_token_filtered(logits, jnp.float32(2.0), k, top_k=1)
+    np.testing.assert_array_equal(np.asarray(t),
+                                  np.argmax(np.asarray(logits), -1))
+    # top-p tiny -> also argmax
+    t = sample_token_filtered(logits, jnp.float32(2.0), k,
+                              top_p=jnp.float32(1e-6))
+    np.testing.assert_array_equal(np.asarray(t),
+                                  np.argmax(np.asarray(logits), -1))
+    # min_p=1.0 keeps only max-prob tokens
+    t = sample_token_filtered(logits, jnp.float32(2.0), k,
+                              min_p=jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(t),
+                                  np.argmax(np.asarray(logits), -1))
+    # top_k=50 at high temp: samples stay inside the top-50 set
+    for trial in range(5):
+        kk = jax.random.PRNGKey(trial)
+        t = np.asarray(sample_token_filtered(logits, jnp.float32(5.0), kk,
+                                             top_k=50))
+        for b in range(2):
+            topset = np.argsort(-np.asarray(logits)[b])[:50]
+            assert t[b] in topset
