@@ -61,12 +61,15 @@ class Tokenizer:
     tokens: list[str]
     token_types: list[int]
     merges: list[str] = field(default_factory=list)
-    model: str = "gpt2"
+    scores: list[float] = field(default_factory=list)   # sentencepiece only
+    model: str = "gpt2"          # "gpt2" (byte-level BPE) | "llama" (SPM)
     pre: str = "default"
     bos_id: int = -1
     eos_id: int = -1
+    unk_id: int = -1
     add_bos: bool = False
     add_eos: bool = False
+    add_space_prefix: bool = True   # SPM: prepend "▁" to the first fragment
 
     def __post_init__(self):
         self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
@@ -99,12 +102,15 @@ class Tokenizer:
             tokens=tokens,
             token_types=types,
             merges=list(kv.get("tokenizer.ggml.merges", [])),
+            scores=[float(s) for s in kv.get("tokenizer.ggml.scores", [])],
             model=str(kv.get("tokenizer.ggml.model", "gpt2")),
             pre=str(kv.get("tokenizer.ggml.pre", "default")),
             bos_id=int(kv.get("tokenizer.ggml.bos_token_id", -1)),
             eos_id=int(kv.get("tokenizer.ggml.eos_token_id", -1)),
+            unk_id=int(kv.get("tokenizer.ggml.unknown_token_id", -1)),
             add_bos=bool(kv.get("tokenizer.ggml.add_bos_token", False)),
             add_eos=bool(kv.get("tokenizer.ggml.add_eos_token", False)),
+            add_space_prefix=bool(kv.get("tokenizer.ggml.add_space_prefix", True)),
         )
 
     @property
@@ -142,7 +148,48 @@ class Tokenizer:
                         out.append(sub)
         return out
 
-    def _encode_fragment(self, text: str) -> list[int]:
+    # -- SPM (sentencepiece, llama-arch GGUFs) ---------------------------
+    def _spm_encode(self, text: str, first: bool) -> list[int]:
+        """llama.cpp llm_tokenizer_spm: whitespace -> U+2581, optional space
+        prefix, then greedy best-score bigram merging over the vocab with
+        <0xNN> byte fallback."""
+        if first and self.add_space_prefix and text and not text.startswith(" "):
+            text = " " + text
+        text = text.replace(" ", "▁")
+        if not text:
+            return []
+        syms = list(text)
+        while len(syms) > 1:
+            best_score, best_i = None, -1
+            for i in range(len(syms) - 1):
+                tid = self.token_to_id.get(syms[i] + syms[i + 1])
+                if tid is None or tid >= len(self.scores):
+                    continue
+                sc = self.scores[tid]
+                if best_score is None or sc > best_score:
+                    best_score, best_i = sc, i
+            if best_i < 0:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        out: list[int] = []
+        for s in syms:
+            tid = self.token_to_id.get(s)
+            if tid is not None:
+                out.append(tid)
+                continue
+            fell_back = False
+            for b in s.encode("utf-8"):
+                bid = self.token_to_id.get(f"<0x{b:02X}>")
+                if bid is not None:
+                    out.append(bid)
+                    fell_back = True
+            if not fell_back and self.unk_id >= 0:
+                out.append(self.unk_id)
+        return out
+
+    def _encode_fragment(self, text: str, first: bool = False) -> list[int]:
+        if self.model == "llama":
+            return self._spm_encode(text, first)
         ids: list[int] = []
         for m in self._pre_re.finditer(text):
             piece = "".join(self._b2u[b] for b in m.group(0).encode("utf-8"))
@@ -160,15 +207,18 @@ class Tokenizer:
             ids.append(self.bos_id)
         if parse_special and self._special_re is not None:
             pos = 0
+            first = True
             for m in self._special_re.finditer(text):
                 if m.start() > pos:
-                    ids.extend(self._encode_fragment(text[pos:m.start()]))
+                    ids.extend(self._encode_fragment(text[pos:m.start()],
+                                                     first=first))
+                    first = False
                 ids.append(self.special_tokens[m.group(0)])
                 pos = m.end()
             if pos < len(text):
-                ids.extend(self._encode_fragment(text[pos:]))
+                ids.extend(self._encode_fragment(text[pos:], first=first))
         else:
-            ids.extend(self._encode_fragment(text))
+            ids.extend(self._encode_fragment(text, first=True))
         if add_special and self.add_eos and self.eos_id >= 0:
             ids.append(self.eos_id)
         return ids
@@ -191,6 +241,8 @@ class Tokenizer:
                 except ValueError:
                     return tok.encode("utf-8")
             return tok.encode("utf-8")
+        if self.model == "llama":
+            return tok.replace("▁", " ").encode("utf-8")
         u2b = self._u2b
         if all(ch in u2b for ch in tok):
             return bytes(u2b[ch] for ch in tok)

@@ -136,3 +136,51 @@ def test_utf8_multibyte_roundtrip():
     text = "こんにちは"
     ids = tok.encode(text, add_special=False)
     assert tok.decode(ids) == text
+
+
+# -- SPM (sentencepiece) tokenizer -------------------------------------------
+
+def _spm_tokenizer():
+    from miotts_tpu.text.tokenizer import TOKEN_TYPE_BYTE
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]  # unk, control, control
+    scores = [0.0, 0.0, 0.0]
+    # byte fallback tokens
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TOKEN_TYPE_BYTE)
+        scores.append(-1e6)
+    # pieces with merge scores (higher = merged earlier)
+    pieces = [("▁", -1.0), ("h", -2.0), ("e", -2.0), ("l", -2.0), ("o", -2.0),
+              ("he", -0.5), ("ll", -0.6), ("hell", -0.3), ("hello", -0.1),
+              ("▁hello", -0.05)]
+    for piece, sc in pieces:
+        tokens.append(piece)
+        types.append(TOKEN_TYPE_NORMAL)
+        scores.append(sc)
+    return Tokenizer(tokens=tokens, token_types=types, scores=scores,
+                     model="llama", unk_id=0, bos_id=1, eos_id=2,
+                     add_space_prefix=True)
+
+
+def test_spm_merges_to_longest_piece():
+    tok = _spm_tokenizer()
+    ids = tok.encode("hello", add_special=False)
+    assert [tok.tokens[i] for i in ids] == ["▁hello"]
+    assert tok.decode(ids) == " hello"
+
+
+def test_spm_byte_fallback():
+    tok = _spm_tokenizer()
+    ids = tok.encode("hz", add_special=False)   # 'z' not in vocab -> bytes
+    pieces = [tok.tokens[i] for i in ids]
+    assert "<0x7A>" in pieces  # 'z'
+    assert tok.decode(ids) == " hz"
+
+
+def test_spm_whitespace_handling():
+    tok = _spm_tokenizer()
+    ids = tok.encode("hello hello", add_special=False)
+    # both words become ▁hello
+    assert [tok.tokens[i] for i in ids] == ["▁hello", "▁hello"]
+    assert tok.decode(ids) == " hello hello"
