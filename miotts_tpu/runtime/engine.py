@@ -44,6 +44,86 @@ from .profile import StreamProfile
 StreamCallback = Callable[[Optional[np.ndarray], int, bool], bool]
 
 
+@partial(jax.jit,
+         static_argnames=("llm_cfg", "codec_cfg", "n_steps", "code_bucket",
+                          "holdback", "min_step"),
+         donate_argnames=("cache", "codes_buf"))
+def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
+                       temperature, stop_ids, code_table, codes_buf, n_codes,
+                       committed, voice_emb, llm_cfg, codec_cfg,
+                       n_steps: int, code_bucket: int, holdback: int,
+                       min_step: int):
+    """One streaming step, fully fused into a single executable: generate a
+    chunk of tokens (on-device while_loop), append their codec codes to the
+    device-resident code buffer, evaluate the commit-holdback policy
+    (test-to-speech.cpp:507-522) on device, and — under `lax.cond`, in the
+    SAME program — run the codec re-decode when the policy fires.
+
+    Why: on this runtime, alternating between the LLM-chunk executable and
+    the codec executable costs ~70-100 ms of program switching per emit
+    (measured), tripling streaming cost; fusing them keeps one resident
+    program.  The audio output is only transferred when the host actually
+    emits (async dispatch — jax keeps it on device otherwise).
+
+    Returns (tok_buf [n_steps], n_gen, done, last_logits, cache, key,
+    codes_buf, n_codes, do_emit, target, audio [code_bucket * spt]).
+    """
+    from ..models.codec import codec_decode_spec
+    from ..models.llm import llm_decode_step, sample_token
+
+    buf0 = jnp.full((n_steps,), -1, jnp.int32)
+
+    def cond_fn(carry):
+        i, done, *_ = carry
+        return jnp.logical_and(i < n_steps, jnp.logical_not(done))
+
+    def body(carry):
+        i, done, last, cache, key, buf, codes_buf, n_codes = carry
+        key, sub = jax.random.split(key)
+        tok = sample_token(last, temperature, sub)
+        is_stop = jnp.any(tok[0] == stop_ids)
+        buf = jnp.where(is_stop, buf, buf.at[i].set(tok[0]))
+        code = code_table[jnp.clip(tok[0], 0, code_table.shape[0] - 1)]
+        write = (~is_stop) & (code >= 0) & (n_codes < code_bucket)
+        codes_buf = jnp.where(write, codes_buf.at[n_codes].set(code), codes_buf)
+        n_codes = n_codes + write.astype(jnp.int32)
+
+        def step(args):
+            last, cache = args
+            return llm_decode_step(llm_params, tok, cache, llm_cfg)
+
+        last, cache = jax.lax.cond(is_stop, lambda a: a, step, (last, cache))
+        i = jnp.where(is_stop, i, i + 1)
+        return i, is_stop, last, cache, key, buf, codes_buf, n_codes
+
+    i, done, last, cache, key, buf, codes_buf, n_codes = jax.lax.while_loop(
+        cond_fn, body,
+        (jnp.int32(0), jnp.bool_(False), last_logits, cache, key, buf0,
+         codes_buf, n_codes))
+
+    # commit-holdback policy on device (non-final; the final flush runs
+    # host-side)
+    target = jnp.maximum(n_codes - holdback, 0)
+    do_emit = (n_codes > 0) & (target > committed) & \
+        ((target - committed) >= min_step)
+
+    spt = codec_cfg.samples_per_token
+
+    def decode(_):
+        lm, ph = codec_decode_spec(codec_params, codes_buf, voice_emb,
+                                   codec_cfg, n_real=n_codes)
+        return spec_to_audio_bucketed(
+            lm, ph, codec_params["istft_cos_basis"],
+            codec_params["istft_sin_basis"], codec_params["istft_hann"],
+            codec_cfg.hop_length, codec_cfg.total_upsample, n_codes)
+
+    audio = jax.lax.cond(
+        do_emit, decode,
+        lambda _: jnp.zeros((code_bucket * spt,), jnp.float32), None)
+    return (buf, i, done, last, cache, key, codes_buf, n_codes, do_emit,
+            target, audio)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _codec_spec_vmapped(params, codes_b, embs_b, cfg, n_real_b):
     """vmapped codec decode: codes [B, T], embs [B, D], n_real [B]."""
@@ -95,6 +175,11 @@ class EngineConfig:
     code_bucket: int = 32
     llm_dtype: str = "bfloat16"
     quantized_kv: bool = False   # int8 KV cache (north-star extension)
+    # Fused streaming: run chunk generation + commit policy + codec decode
+    # in ONE executable (avoids per-emit program switching, ~2.3 ms/token on
+    # this runtime).  Stage timing note: the codec share of fused steps is
+    # folded into llm_sec; codec_sec/istft_sec then cover the final flush.
+    fused_streaming: bool = True
 
 
 @dataclass
@@ -408,6 +493,117 @@ class TTSEngine:
             profile.decoded_codes += sum(lens)
         return [audio[i, : lens[i] * cfg.samples_per_token] for i in range(B)]
 
+    def _stream_fused(self, voice: VoiceModel, text: str, emit_range,
+                      timed_callback, options: Options,
+                      profile: StreamProfile) -> bool:
+        """Streaming via the fused single-executable step (see
+        _fused_stream_step).  Policy-identical to the reference
+        (test-to-speech.cpp:499-571); the final flush reuses the host codec
+        path."""
+        cfg = self.llm_cfg
+        cfgc = self.codec_cfg
+        cfgE = self.config
+        temp, max_tok, seed = self._resolve(options)
+
+        prompt = build_prompt(normalize_tts_text(text))
+        ids = self.tokenizer.encode(prompt, add_special=True, parse_special=True)
+        n = len(ids)
+        if n + max_tok > cfgE.n_ctx:
+            max_tok = max(0, cfgE.n_ctx - n)
+        bucket_p = _round_up(n, cfgE.prompt_bucket)
+        toks = np.zeros((1, bucket_p), np.int32)
+        toks[0, :n] = ids
+
+        t0 = time.perf_counter()
+        need = bucket_p + max_tok + 64
+        s_cache = min(_bucket_len(need, 256), cfgE.n_ctx)
+        if self._cache is None or self._cache["k"].shape[2] != s_cache:
+            self._cache = init_kv_cache(
+                cfg, 1, s_cache,
+                dtype=jnp.bfloat16 if cfgE.llm_dtype == "bfloat16"
+                else jnp.float32, quantized=cfgE.quantized_kv)
+        cache = dict(self._cache, fill=jnp.zeros((1,), jnp.int32))
+        last, cache = llm_prefill(self.llm_params, jnp.asarray(toks),
+                                  jnp.asarray([n], jnp.int32), cache, cfg)
+        last.block_until_ready()
+        profile.prefill_sec += time.perf_counter() - t0
+
+        key = jax.random.PRNGKey(seed)
+        temp_arr = jnp.float32(temp)
+        stop_ids = jnp.asarray([self._eos_id, self._im_end_id], jnp.int32)
+        emb = jnp.asarray(voice.embedding, jnp.float32)
+        table = self.code_table
+        spt = cfgc.samples_per_token
+        chunk = cfgE.stream_check_interval
+
+        codes: list[int] = []          # host mirror of the device buffer
+        committed = 0
+        n_gen = 0
+        stopped = False
+        cur_bucket = _bucket_len(chunk, cfgE.code_bucket)
+        codes_buf = jnp.zeros((cur_bucket,), jnp.int32)
+        n_codes_dev = jnp.int32(0)
+        ok = True
+
+        while n_gen < max_tok and not stopped:
+            n_steps = min(chunk, max_tok - n_gen)
+            want_bucket = _bucket_len(len(codes) + n_steps, cfgE.code_bucket)
+            if want_bucket != cur_bucket:
+                cur_bucket = want_bucket
+                nb = np.zeros(cur_bucket, np.int32)
+                nb[:len(codes)] = codes
+                codes_buf = jnp.asarray(nb)
+                n_codes_dev = jnp.int32(len(codes))
+
+            t1 = time.perf_counter()
+            (buf, cnt, done, last, cache, key, codes_buf, n_codes_dev,
+             do_emit, target, audio) = _fused_stream_step(
+                self.llm_params, self.codec_params, last, cache, key,
+                temp_arr, stop_ids, self._speech_table_dev, codes_buf,
+                n_codes_dev, jnp.int32(committed), emb, cfg, cfgc,
+                n_steps, cur_bucket, cfgE.holdback_codes,
+                cfgE.min_commit_step_codes)
+            buf_h, cnt_h, done_h, emit_h, target_h = jax.device_get(
+                (buf, cnt, done, do_emit, target))
+            profile.llm_sec += time.perf_counter() - t1
+
+            for j in range(int(cnt_h)):
+                tid = int(buf_h[j])
+                n_gen += 1
+                c = table[tid] if 0 <= tid < len(table) else -1
+                if c >= 0:
+                    codes.append(int(c))
+            profile.llm_tokens = n_gen
+            stopped = bool(done_h)
+
+            # Reference cadence: emission only at exact multiples of the
+            # check interval (test-to-speech.cpp:608) — i.e. after FULL
+            # chunks; early-stopped or budget-truncated chunks defer to the
+            # final flush.
+            if bool(emit_h) and int(cnt_h) == n_steps == chunk:
+                profile.decode_calls += 1
+                profile.decoded_codes += len(codes)
+                audio_np = np.asarray(audio)
+                begin = committed * spt
+                end = int(target_h) * spt
+                committed = int(target_h)
+                if not emit_range(audio_np, begin, end, False):
+                    self._cache = cache
+                    return False
+
+        self._cache = cache
+
+        # final flush (host codec path; mirrors maybe_emit(is_final=True))
+        if not codes:
+            return False
+        if len(codes) <= committed:
+            return timed_callback(None, True)
+        audio = self.decode_codes(codes, voice,
+                                  apply_peak_normalization=False,
+                                  profile=profile)
+        begin = committed * spt
+        return emit_range(audio, begin, len(audio), True)
+
     # ------------------------------------------------------------------
     # Offline synthesis
     # ------------------------------------------------------------------
@@ -503,6 +699,12 @@ class TTSEngine:
                                       apply_peak_normalization=False,
                                       profile=profile)
             ok = emit_range(audio, 0, len(audio), True)
+            profile.total_sec = time.perf_counter() - t_total0
+            return ok
+
+        if self.config.fused_streaming and self.llm_params is not None:
+            ok = self._stream_fused(voice, text, emit_range, timed_callback,
+                                    options, profile)
             profile.total_sec = time.perf_counter() - t_total0
             return ok
 

@@ -33,6 +33,7 @@ def engine(tmp_path_factory):
 
 def _scripted(eng, codes, interval=20):
     """Monkeypatch generate_tokens to feed speech tokens for `codes`."""
+    eng.config.fused_streaming = False  # scripted feed drives the unfused path
     # speech token id for code c: find via the code table
     table = eng.code_table
     id_for_code = {int(c): i for i, c in enumerate(table) if c >= 0}
@@ -119,3 +120,33 @@ def test_emit_thresholds(engine, rng):
         assert total == 40 * eng.samples_per_token
     finally:
         eng.generate_tokens = orig
+
+
+def test_fused_matches_unfused_streaming(engine):
+    """The fused single-executable streaming path must produce the same
+    chunks as the unfused path at the same seed."""
+    eng, voice = engine
+    from miotts_tpu.runtime.engine import Options
+
+    def run(fused):
+        eng.config.fused_streaming = fused
+        chunks = []
+
+        def cb(samples, sr, is_last):
+            if samples is not None:
+                chunks.append(samples.copy())
+            return True
+
+        ok = eng.synthesize_stream(voice, "fused parity", cb,
+                                   options=Options(max_tokens=120,
+                                                   temperature=1.0, seed=42))
+        assert ok or not chunks
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    try:
+        a = run(False)
+        b = run(True)
+    finally:
+        eng.config.fused_streaming = True
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-4)
