@@ -301,6 +301,24 @@ class TTSEngine:
                     self.codec_params, codes_w, emb_w, cfgc,
                     n_real=jnp.asarray(1, jnp.int32))
                 lm.block_until_ready()
+            if self.config.fused_streaming:
+                # precompile the fused streaming step for every codec bucket
+                chunk = self.config.stream_check_interval
+                b = _bucket_len(chunk, self.config.code_bucket)
+                while True:
+                    codes_buf = jnp.zeros((b,), jnp.int32)
+                    out = _fused_stream_step(
+                        self.llm_params, self.codec_params, last, cache,
+                        jax.random.PRNGKey(0), jnp.float32(1.0), stop_ids,
+                        self._speech_table_dev, codes_buf, jnp.int32(0),
+                        jnp.int32(0), emb_w, cfg, cfgc, chunk, b,
+                        self.config.holdback_codes,
+                        self.config.min_commit_step_codes)
+                    out[0].block_until_ready()
+                    last, cache = out[3], out[4]
+                    if b >= max_codes:
+                        break
+                    b *= 2
             self._cache = cache
 
     # ------------------------------------------------------------------
