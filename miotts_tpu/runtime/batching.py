@@ -104,6 +104,11 @@ class ContinuousBatcher:
             [engine._eos_id, engine._im_end_id], jnp.int32)
         self._table = engine.code_table
         self._temp = jnp.float32(engine.config.temperature)
+        # fused-step device state (rebuilt lazily from host mirrors)
+        self._codes_buf = None
+        self._codes_bucket = 0
+        self._dirty_codes = True
+        self._embs = None
 
     # ------------------------------------------------------------------
     @property
@@ -146,6 +151,7 @@ class ContinuousBatcher:
             self.active[slot] = True
             self.slot_req[slot] = req
             req.slot = slot
+            self._dirty_codes = True
 
     def _finish(self, req: Request, ok: bool) -> None:
         req.done = True
@@ -216,7 +222,14 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     def step(self) -> None:
         """One scheduler iteration: admit -> batched decode chunk ->
-        distribute tokens -> emit/finish."""
+        distribute tokens -> emit/finish.  Uses the fused single-executable
+        step (generation + per-slot policy + vmapped codec) when the engine
+        has fused_streaming on."""
+        if getattr(self.engine.config, "fused_streaming", False):
+            return self._step_fused()
+        return self._step_unfused()
+
+    def _step_unfused(self) -> None:
         self._admit()
         if not np.any(self.active):
             return
@@ -271,6 +284,129 @@ class ContinuousBatcher:
                     self._finish(req, ok)
                 elif not ok:
                     self._finish(req, False)
+
+    def _step_fused(self) -> None:
+        """Fused scheduler iteration (see engine._fused_batch_step): one
+        resident executable runs the batched chunk, per-slot commit policy,
+        and the vmapped codec decode; the host only splices and emits."""
+        from .engine import _fused_batch_step
+
+        eng = self.engine
+        cfgE = eng.config
+        self._admit()
+        if not np.any(self.active):
+            return
+
+        B = self.n_slots
+        spt = eng.codec_cfg.samples_per_token
+        # device-resident per-slot code buffers, rebuilt on bucket growth or
+        # admission churn from the host mirrors
+        max_len = max((len(r.codes) for r in self.slot_req if r), default=0)
+        want_bucket = _bucket_len(max_len + self.chunk_steps, cfgE.code_bucket)
+        if getattr(self, "_codes_buf", None) is None or \
+                self._codes_bucket != want_bucket or self._dirty_codes:
+            nb = np.zeros((B, want_bucket), np.int32)
+            embs = np.zeros((B, eng.codec_cfg.adaln_dim), np.float32)
+            for slot, req in enumerate(self.slot_req):
+                if req is not None:
+                    nb[slot, :len(req.codes)] = req.codes
+                    embs[slot] = req.voice.embedding
+            self._codes_buf = jnp.asarray(nb)
+            self._embs = jnp.asarray(embs)
+            self._codes_bucket = want_bucket
+            self._dirty_codes = False
+
+        n_codes = np.array([len(r.codes) if r else 0 for r in self.slot_req],
+                           np.int32)
+        committed = np.array([r.committed if r else 0 for r in self.slot_req],
+                             np.int32)
+        n_tok = np.array([r.n_tokens if r else 0 for r in self.slot_req],
+                         np.int32)
+        max_toks = np.array(
+            [getattr(r, "_max_tokens", 0) if r else 0 for r in self.slot_req],
+            np.int32)
+
+        self._key, key = jax.random.split(self._key)
+        (buf, active_dev, self.last_logits, self.cache, key, self._codes_buf,
+         _, _, emit_dev, target_dev, audio) = _fused_batch_step(
+            eng.llm_params, eng.codec_params, self.last_logits, self.cache,
+            jnp.asarray(self.active), key, self._temp, self._stop_ids,
+            jnp.asarray(self._table), self._codes_buf, jnp.asarray(n_codes),
+            jnp.asarray(committed), jnp.asarray(n_tok), jnp.asarray(max_toks),
+            self._embs, self.cfg, eng.codec_cfg, self.chunk_steps,
+            self._codes_bucket, cfgE.holdback_codes,
+            cfgE.min_commit_step_codes)
+        buf_h, active_h, emit_h, target_h = jax.device_get(
+            (buf, active_dev, emit_dev, target_dev))
+
+        table = self._table
+        audio_np = None
+        for slot in range(B):
+            if not self.active[slot]:
+                continue
+            req = self.slot_req[slot]
+            toks = buf_h[slot]
+            toks = toks[toks >= 0]
+            for tid in toks:
+                req.n_tokens += 1
+                c = table[tid] if 0 <= tid < len(table) else -1
+                if c >= 0:
+                    req.codes.append(int(c))
+            if emit_h[slot]:
+                if audio_np is None:
+                    audio_np = np.asarray(audio)
+                target = int(target_h[slot])
+                seg = audio_np[slot]
+                ok = self._emit_segment(req, seg, target, spt)
+                if not ok:
+                    self._finish(req, False)
+                    self._dirty_codes = True
+                    continue
+            if not active_h[slot]:
+                # stopped (eos/im_end) or out of budget -> final flush
+                action, val = self._emit_policy(req, True)
+                if action == "decode":
+                    fin_audio = eng.decode_codes(req.codes, req.voice,
+                                                 apply_peak_normalization=False)
+                    ok = self._emit_audio(req, fin_audio, val, True)
+                elif action == "final_cb":
+                    ok = req.callback(None, eng.sample_rate, True)
+                else:
+                    ok = val
+                self._finish(req, ok)
+                self._dirty_codes = True
+        self.active = np.array([r is not None for r in self.slot_req])
+
+    def _emit_segment(self, req: Request, audio: np.ndarray, target: int,
+                      spt: int) -> bool:
+        """Splice+emit [committed, target) codes from a fused-step decode
+        (exact spt mapping; crossfade identical to _emit_audio)."""
+        begin = req.committed * spt
+        end = target * spt
+        if begin >= end:
+            return True
+        req.committed = target
+        eng = self.engine
+        cfgE = eng.config
+        sr = eng.sample_rate
+        crossfade = min(sr * 3 // 100, 4096)
+        i, first = begin, True
+        while i < end:
+            n = min(cfgE.chunk_samples, end - i)
+            chunk = audio[i:i + n].copy()
+            if first and req.tail.size:
+                xf = min(req.tail.size, chunk.size)
+                a = (np.arange(xf, dtype=np.float32) + 1.0) / (xf + 1.0)
+                chunk[:xf] = (1.0 - a) * req.tail[:xf] + a * chunk[:xf]
+            req.tail = chunk[-crossfade:].copy() if n >= crossfade else chunk.copy()
+            if req.first_audio_at < 0:
+                req.first_audio_at = time.perf_counter()
+            if not req.callback(chunk, sr, False):
+                return False
+            req.emitted_samples += n
+            i += n
+            first = False
+        return True
 
     def run_until_done(self, max_iters: int = 10 ** 6) -> None:
         it = 0

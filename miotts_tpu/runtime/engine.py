@@ -124,6 +124,89 @@ def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
             target, audio)
 
 
+@partial(jax.jit,
+         static_argnames=("llm_cfg", "codec_cfg", "n_steps", "code_bucket",
+                          "holdback", "min_step"),
+         donate_argnames=("cache", "codes_buf"))
+def _fused_batch_step(llm_params, codec_params, last_logits, cache, active,
+                      key, temperature, stop_ids, code_table, codes_buf,
+                      n_codes, committed, n_tokens, max_toks, embs,
+                      llm_cfg, codec_cfg, n_steps: int, code_bucket: int,
+                      holdback: int, min_step: int):
+    """Batched fused streaming step: the multi-slot analog of
+    _fused_stream_step — batched chunk generation with per-slot stop/budget
+    tracking and device-side code append, per-slot commit policy, and a
+    single vmapped codec decode under `lax.cond` when ANY slot commits.
+    One resident executable serves the whole continuous-batching loop.
+
+    Shapes: last [B, V]; active bool [B]; codes_buf i32 [B, bucket];
+    n_codes/committed/n_tokens/max_toks i32 [B]; embs [B, D].
+    Returns (tok_buf [B, n_steps], active, last, cache, key, codes_buf,
+    n_codes, n_tokens, emit [B], target [B], audio [B, bucket*spt]).
+    """
+    from ..models.llm import llm_forward, sample_token
+
+    B = last_logits.shape[0]
+    buf0 = jnp.full((B, n_steps), -1, jnp.int32)
+
+    def cond_fn(carry):
+        i, active, *_ = carry
+        return jnp.logical_and(i < n_steps, jnp.any(active))
+
+    def body(carry):
+        (i, active, last, cache, key, buf, codes_buf, n_codes,
+         n_tokens) = carry
+        key, sub = jax.random.split(key)
+        tok = sample_token(last, temperature, sub)            # [B]
+        is_stop = jnp.any(tok[:, None] == stop_ids[None, :], axis=-1)
+        active = active & (~is_stop) & (n_tokens < max_toks)
+        buf = buf.at[:, i].set(jnp.where(active, tok, -1))
+        n_tokens = n_tokens + active.astype(jnp.int32)
+
+        code = code_table[jnp.clip(tok, 0, code_table.shape[0] - 1)]
+        slot_pos = jnp.minimum(n_codes, code_bucket - 1)
+        write = active & (code >= 0) & (n_codes < code_bucket)
+        cur = codes_buf[jnp.arange(B), slot_pos]
+        codes_buf = codes_buf.at[jnp.arange(B), slot_pos].set(
+            jnp.where(write, code, cur))
+        n_codes = n_codes + write.astype(jnp.int32)
+
+        fill = cache["fill"]
+        s_max = cache["k"].shape[2]
+        pos = jnp.where(active, fill, s_max - 1)[:, None]
+        logits, cache = llm_forward(llm_params, tok[:, None], pos, cache,
+                                    llm_cfg, advance=active.astype(jnp.int32))
+        cache = dict(cache, fill=jnp.where(active, fill + 1, fill))
+        return (i + 1, active, logits[:, 0], cache, key, buf, codes_buf,
+                n_codes, n_tokens)
+
+    (i, active, last, cache, key, buf, codes_buf, n_codes, n_tokens) = \
+        jax.lax.while_loop(cond_fn, body,
+                           (jnp.int32(0), active, last_logits, cache, key,
+                            buf0, codes_buf, n_codes, n_tokens))
+
+    target = jnp.maximum(n_codes - holdback, 0)
+    emit = active & (n_codes > 0) & (target > committed) & \
+        ((target - committed) >= min_step)
+
+    spt = codec_cfg.samples_per_token
+
+    def decode(_):
+        def one(c, e, n):
+            lm, ph = codec_decode_spec(codec_params, c, e, codec_cfg, n_real=n)
+            return spec_to_audio_bucketed(
+                lm, ph, codec_params["istft_cos_basis"],
+                codec_params["istft_sin_basis"], codec_params["istft_hann"],
+                codec_cfg.hop_length, codec_cfg.total_upsample, n)
+        return jax.vmap(one)(codes_buf, embs, n_codes)
+
+    audio = jax.lax.cond(
+        jnp.any(emit), decode,
+        lambda _: jnp.zeros((B, code_bucket * spt), jnp.float32), None)
+    return (buf, active, last, cache, key, codes_buf, n_codes, n_tokens,
+            emit, target, audio)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _codec_spec_vmapped(params, codes_b, embs_b, cfg, n_real_b):
     """vmapped codec decode: codes [B, T], embs [B, D], n_real [B]."""
