@@ -66,7 +66,8 @@ class ContinuousBatcher:
 
     def __init__(self, engine: TTSEngine, n_slots: int = 8,
                  chunk_steps: int = 20, quantized_kv: bool = False,
-                 ctx_len: int | None = None, mesh=None):
+                 ctx_len: int | None = None, mesh=None,
+                 fused: bool = False):
         """`mesh`: optional jax Mesh for sharded serving — the KV cache
         batch dim goes over 'data' and heads over 'model'
         (parallel/sharding.py); pair with engine.llm_params already sharded
@@ -77,6 +78,7 @@ class ContinuousBatcher:
         self.n_slots = n_slots
         self.chunk_steps = chunk_steps
         self.mesh = mesh
+        self.use_fused = fused
         if ctx_len is None:
             # geometric bucket of prompt-bucket + token budget: per-step
             # attention traffic scales with this length, not n_ctx
@@ -222,10 +224,15 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     def step(self) -> None:
         """One scheduler iteration: admit -> batched decode chunk ->
-        distribute tokens -> emit/finish.  Uses the fused single-executable
-        step (generation + per-slot policy + vmapped codec) when the engine
-        has fused_streaming on."""
-        if getattr(self.engine.config, "fused_streaming", False):
+        distribute tokens -> emit/finish.
+
+        The default path batches codec decodes across only the committing
+        slots (one vmapped dispatch); `fused=True` instead folds generation
+        + policy + an all-slot codec decode into one executable — measured
+        SLOWER at 16 slots (the all-slot decode outweighs the saved program
+        switch, 19.8x vs 23.6x aggregate on 2.6B), so it is opt-in and
+        mainly useful at low slot counts."""
+        if getattr(self, "use_fused", False):
             return self._step_fused()
         return self._step_unfused()
 

@@ -151,3 +151,16 @@ def test_sharded_serving_end_to_end(engine):
             assert batcher.pending == 0
     finally:
         eng.llm_params = orig_params
+
+
+def test_fused_batcher_completes(engine):
+    """Opt-in fused batched step: requests complete and stream audio."""
+    eng, voice = engine
+    batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10, fused=True)
+    done = []
+    for i in range(3):
+        batcher.submit(f"fused batch {i}", voice,
+                       lambda s, sr, last, i=i: (done.append(i) if last else None) or True,
+                       Options(max_tokens=25, temperature=1.0))
+    batcher.run_until_done(max_iters=100)
+    assert batcher.pending == 0
