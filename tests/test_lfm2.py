@@ -212,3 +212,28 @@ def test_lfm2_continuous_batching(tmp_path, rng):
                        Options(max_tokens=20, temperature=1.0))
     batcher.run_until_done(max_iters=100)
     assert batcher.pending == 0
+
+
+def test_lfm2_fused_streaming(tmp_path, rng):
+    """Fused streaming step over the hybrid (conv+attn) architecture."""
+    from miotts_tpu.gguf import write_voice_embedding
+    from miotts_tpu.models.synthetic import write_synthetic_codec
+    from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
+
+    llm_path = str(tmp_path / "lfm2s.gguf")
+    write_synthetic_llm(llm_path, cfg=_lfm2_cfg(256 + 3 + 64), seed=9)
+    codec_path = str(tmp_path / "codec.gguf")
+    ccfg = write_synthetic_codec(codec_path, n_codes=64, seed=3)
+    emb_path = str(tmp_path / "v.emb.gguf")
+    write_voice_embedding(emb_path, rng.standard_normal(ccfg.adaln_dim) * 0.3)
+
+    eng = TTSEngine(EngineConfig(model_path=llm_path, codec_path=codec_path,
+                                 max_tokens=60, llm_dtype="float32",
+                                 prompt_bucket=32, code_bucket=16))
+    assert eng.config.fused_streaming
+    voice = VoiceModel(emb_path)
+    chunks = []
+    ok = eng.synthesize_stream(
+        voice, "lfm2 stream", lambda s, sr, last: (chunks.append(s) if s is not None else None) or True,
+        options=Options(max_tokens=60, temperature=1.0, seed=3))
+    assert ok or not chunks
