@@ -91,7 +91,8 @@ def main() -> int:
     t0 = time.perf_counter()
     engine = TTSEngine(EngineConfig(
         model_path=llm_path, codec_path=codec_path,
-        max_tokens=MAX_TOKENS, temperature=0.8, seed=42))
+        max_tokens=MAX_TOKENS, temperature=0.8, seed=42,
+        quantized_kv=bool(os.environ.get("MIOTTS_BENCH_QKV"))))
     voice = VoiceModel(emb_path)
     log(f"bench: models loaded in {time.perf_counter() - t0:.1f}s")
 
