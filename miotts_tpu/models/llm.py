@@ -15,9 +15,10 @@ TPU-first design (SURVEY.md §7.4):
   * Prefill and decode are two jitted functions over static (batch, length)
     buckets; the reference instead created and destroyed a llama_context per
     request (`test-to-speech.cpp:108,197`).
-  * The KV cache is a dense [L, 2, B, S_max, H_kv, D] ring buffer passed
+  * The KV cache is a dense [L, B, H_kv, S_max, D] buffer passed
     functionally; positions are masked, so one compiled decode step serves
-    any fill level.
+    any fill level.  Optional int8 KV with scales factored out of the
+    attention dots (measured ~1.4x faster than bf16 at serving shapes).
   * Activations default to bf16 (MXU native); logits and sampling in f32.
 """
 
@@ -293,7 +294,11 @@ def _rope(x, pos, theta, style):
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int | None = None,
                   dtype=jnp.bfloat16, quantized: bool = False) -> dict:
-    """Dense KV cache: k/v [L, B, S, H_kv, D] + fill counts [B].
+    """Dense KV cache: k/v [L, B, H_kv, S, D] + fill counts [B].
+
+    Layout is head-major with S on the sublane axis so the decode-attention
+    kernel (ops/decode_attn.py) streams contiguous [S_t, D] tiles per
+    (batch, kv-head) grid cell.
 
     With `quantized`, k/v are stored int8 with per-(token, head) f32 scales —
     an extension over the reference, which always keeps f16 KV
@@ -310,18 +315,18 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int | None = None,
         conv_extra["conv"] = jnp.zeros(
             (n_conv, batch, cfg.conv_l_cache - 1, cfg.dim), dtype)
         cache = {
-            "k": jnp.zeros((n_attn, batch, S, cfg.n_kv_heads, cfg.head_dim),
+            "k": jnp.zeros((n_attn, batch, cfg.n_kv_heads, S, cfg.head_dim),
                            jnp.int8 if quantized else dtype),
-            "v": jnp.zeros((n_attn, batch, S, cfg.n_kv_heads, cfg.head_dim),
+            "v": jnp.zeros((n_attn, batch, cfg.n_kv_heads, S, cfg.head_dim),
                            jnp.int8 if quantized else dtype),
             "fill": jnp.zeros((batch,), jnp.int32),
             **conv_extra,
         }
         if quantized:
-            cache["k_scale"] = jnp.zeros((n_attn, batch, S, cfg.n_kv_heads), jnp.float32)
-            cache["v_scale"] = jnp.zeros((n_attn, batch, S, cfg.n_kv_heads), jnp.float32)
+            cache["k_scale"] = jnp.zeros((n_attn, batch, cfg.n_kv_heads, S), jnp.float32)
+            cache["v_scale"] = jnp.zeros((n_attn, batch, cfg.n_kv_heads, S), jnp.float32)
         return cache
-    shape = (cfg.n_layers, batch, S, cfg.n_kv_heads, cfg.head_dim)
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, S, cfg.head_dim)
     if quantized:
         sshape = shape[:-1]
         return {
@@ -339,7 +344,8 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int | None = None,
 
 
 def _kv_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-(.., head) symmetric int8: x [B, S, H, D] -> (int8, scale [B,S,H])."""
+    """Per-(.., head) symmetric int8 over the last axis:
+    x [B, S, H, D] -> (int8 [B, S, H, D], scale [B, S, H])."""
     amax = jnp.max(jnp.abs(x), axis=-1)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
@@ -348,43 +354,59 @@ def _kv_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None):
     """Causal attention against the cache.
-    q: [B, S_q, H, D]; k/v_cache: [B, S_max, H_kv, D]; fill: [B] number of
+    q: [B, S_q, H, D]; k/v_cache: [B, H_kv, S_max, D]; fill: [B] number of
     valid cache entries (AFTER writing the current tokens); q_pos: [B, S_q]
-    absolute positions of the queries.  k_scale/v_scale [B, S_max, H_kv]
-    dequantize an int8 cache in-kernel."""
+    absolute positions of the queries.  k_scale/v_scale [B, H_kv, S_max]
+    dequantize an int8 cache.
+
+    The group scales of an int8 cache factor out of both dots, so the
+    cache is never dequantized at [S, D] shape: they multiply the score /
+    probability matrices instead.  Measured at 2.6B serving shapes this
+    runs at HBM speed-of-light and int8 KV is ~1.4x faster than bf16
+    (benchmarks/bench_attn.py); the opt-in Pallas kernel
+    (ops/decode_attn.py, MIOTTS_ATTN_KERNEL=1) measured slower and is kept
+    as the documented comparison point.
+    """
+    from ..ops.decode_attn import decode_attention, decode_attention_supported
+
     B, S_q, H, D = q.shape
-    H_kv = k_cache.shape[2]
+    H_kv, S_max = k_cache.shape[1], k_cache.shape[2]
     rep = H // H_kv
-    # Keep attention inputs in the cache dtype (bf16 in serving): the MXU
-    # accumulates in f32 via preferred_element_type, and avoiding an f32
-    # materialization of the whole cache halves the decode-attention HBM
-    # read — the dominant per-step traffic at depth.
-    cdt = jnp.float32 if k_cache.dtype == jnp.float32 else jnp.bfloat16
+
+    if S_q == 1 and decode_attention_supported(q.shape, S_max):
+        out = decode_attention(q[:, 0], k_cache, v_cache, fill, q_pos[:, 0],
+                               k_scale, v_scale)
+        return out.reshape(B, S_q, H * D).astype(
+            jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16)
+
+    # XLA path (prefill / CPU).  The group scales factor out of both dots,
+    # so an int8 cache is never dequantized at [S, D] shape: they multiply
+    # the score matrix instead.
+    cdt = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
     qf = q.astype(cdt)
     kf = k_cache.astype(cdt)
     vf = v_cache.astype(cdt)
-    if k_scale is not None:
-        kf = kf * k_scale[..., None].astype(cdt)
-    if v_scale is not None:
-        vf = vf * v_scale[..., None].astype(cdt)
     qg = qf.reshape(B, S_q, H_kv, rep, D)
-    scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg, kf,
+    scores = jnp.einsum("bqgrd,bgkd->bgrqk", qg, kf,
                         preferred_element_type=jnp.float32) / np.sqrt(D)
-    key_pos = jnp.arange(k_cache.shape[1])
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, None, :]
+    key_pos = jnp.arange(S_max)
     # key valid: pos < fill AND pos <= query absolute position (causal)
     valid = (key_pos[None, None, :] <= q_pos[:, :, None]) & \
             (key_pos[None, None, :] < fill[:, None, None])
-    scores = jnp.where(valid[:, None, None, :, :].transpose(0, 1, 2, 3, 4),
-                       scores, -1e9)  # [B, g, r, q, k] with mask [B, 1, 1, q, k]
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, vf,
+    scores = jnp.where(valid[:, None, None, :, :], scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1)  # [B, g, r, q, k]
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, None, :]
+    out = jnp.einsum("bgrqk,bgkd->bqgrd", probs.astype(cdt), vf,
                      preferred_element_type=jnp.float32)
-    return out.reshape(B, S_q, H * D)
+    return out.reshape(B, S_q, H * D).astype(cdt)
 
 
 def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
     """One transformer block.  x: [B, S, dim]; lcache: this layer's cache
-    slices {k, v[, k_scale, v_scale]} with k/v [B, S_max, H_kv, D]; pos:
+    slices {k, v[, k_scale, v_scale]} with k/v [B, H_kv, S_max, D]; pos:
     [B, S] absolute positions.  Returns (x, new_lcache)."""
     B, S, _ = x.shape
     H, H_kv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -416,18 +438,23 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
     q = _rope(q, pos, cfg.rope_theta, cfg.rope_style)
     k = _rope(k, pos, cfg.rope_theta, cfg.rope_style)
 
-    # Write k/v into the cache at their absolute positions.  For a single
-    # sequence the write is a dynamic_update_slice (cheap contiguous copy);
-    # batched decode uses a scatter since per-slot positions differ.
+    # Write k/v into the cache at their absolute positions.  The cache is
+    # head-major [B, H_kv, S_max, ...] while fresh k/v are query-major
+    # [B, S, H_kv, ...].  For a single sequence the write is a
+    # dynamic_update_slice of the transposed values; batched decode scatters
+    # (advanced indices at dims 0 and 2 put the broadcast [B, S] dims first,
+    # so the scatter consumes the query-major value directly).
     lcache = dict(lcache)
 
     def write(buf, val):
         val = val.astype(buf.dtype)
         if B == 1 and S == 1:
-            start = (jnp.int32(0), pos[0, 0]) + (0,) * (buf.ndim - 2)
-            return jax.lax.dynamic_update_slice(buf, val, start)
+            vt = jnp.swapaxes(val, 1, 2)
+            start = (jnp.int32(0), jnp.int32(0), pos[0, 0]) + \
+                (0,) * (buf.ndim - 3)
+            return jax.lax.dynamic_update_slice(buf, vt, start)
         b_idx = jnp.arange(B)[:, None] + jnp.zeros_like(pos)
-        return buf.at[b_idx, pos].set(val)
+        return buf.at[b_idx, :, pos].set(val)
 
     if quantized:
         kq, ks = _kv_quantize(k.astype(jnp.float32))
@@ -661,7 +688,7 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
         active = jnp.logical_and(active, jnp.logical_not(is_stop))
         buf = buf.at[:, i].set(jnp.where(active, tok, -1))
         fill = cache["fill"]
-        s_max = cache["k"].shape[2]
+        s_max = cache["k"].shape[3]
         pos = jnp.where(active, fill, s_max - 1)[:, None]
         logits, cache = llm_forward(params, tok[:, None], pos, cache, cfg,
                                     advance=active.astype(jnp.int32))

@@ -132,12 +132,12 @@ def shard_llm_params(params: dict, mesh: Mesh, cfg: LLMConfig) -> dict:
 
 
 def kv_cache_sharding(mesh: Mesh) -> dict:
-    """KV cache [L, B, S, H_kv, D]: batch over 'data', heads over 'model'."""
+    """KV cache [L, B, H_kv, S, D]: batch over 'data', heads over 'model'."""
     return {
-        "k": NamedSharding(mesh, P(None, "data", None, "model", None)),
-        "v": NamedSharding(mesh, P(None, "data", None, "model", None)),
-        "k_scale": NamedSharding(mesh, P(None, "data", None, "model")),
-        "v_scale": NamedSharding(mesh, P(None, "data", None, "model")),
+        "k": NamedSharding(mesh, P(None, "data", "model", None, None)),
+        "v": NamedSharding(mesh, P(None, "data", "model", None, None)),
+        "k_scale": NamedSharding(mesh, P(None, "data", "model", None)),
+        "v_scale": NamedSharding(mesh, P(None, "data", "model", None)),
         "conv": NamedSharding(mesh, P(None, "data", None, None)),
         "fill": NamedSharding(mesh, P("data")),
     }

@@ -172,7 +172,7 @@ def _fused_batch_step(llm_params, codec_params, last_logits, cache, active,
         n_codes = n_codes + write.astype(jnp.int32)
 
         fill = cache["fill"]
-        s_max = cache["k"].shape[2]
+        s_max = cache["k"].shape[3]
         pos = jnp.where(active, fill, s_max - 1)[:, None]
         logits, cache = llm_forward(llm_params, tok[:, None], pos, cache,
                                     llm_cfg, advance=active.astype(jnp.int32))
@@ -442,7 +442,7 @@ class TTSEngine:
         # attention HBM traffic.
         need = bucket + max_tok + 64
         s_cache = min(_bucket_len(need, 256), self.config.n_ctx)
-        if self._cache is None or self._cache["k"].shape[2] != s_cache:
+        if self._cache is None or self._cache["k"].shape[3] != s_cache:
             self._cache = init_kv_cache(
                 cfg, 1, s_cache,
                 dtype=jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
@@ -618,7 +618,7 @@ class TTSEngine:
         t0 = time.perf_counter()
         need = bucket_p + max_tok + 64
         s_cache = min(_bucket_len(need, 256), cfgE.n_ctx)
-        if self._cache is None or self._cache["k"].shape[2] != s_cache:
+        if self._cache is None or self._cache["k"].shape[3] != s_cache:
             self._cache = init_kv_cache(
                 cfg, 1, s_cache,
                 dtype=jnp.bfloat16 if cfgE.llm_dtype == "bfloat16"
