@@ -92,7 +92,8 @@ def main() -> int:
     engine = TTSEngine(EngineConfig(
         model_path=llm_path, codec_path=codec_path,
         max_tokens=MAX_TOKENS, temperature=0.8, seed=42,
-        quantized_kv=bool(os.environ.get("MIOTTS_BENCH_QKV"))))
+        quantized_kv=bool(os.environ.get("MIOTTS_BENCH_QKV")),
+        stream_window_codes=int(os.environ.get("MIOTTS_STREAM_WINDOW", "0"))))
     voice = VoiceModel(emb_path)
     log(f"bench: models loaded in {time.perf_counter() - t0:.1f}s")
 

@@ -111,6 +111,9 @@ class ContinuousBatcher:
         self._codes_bucket = 0
         self._dirty_codes = True
         self._embs = None
+        # pipelined-codec deferred emissions: [(audio_dev, items)] where
+        # items = [(req, row, begin, end, n_decoded)]
+        self._pending: list = []
 
     # ------------------------------------------------------------------
     @property
@@ -186,20 +189,28 @@ class ContinuousBatcher:
         return ("decode", target)
 
     def _emit_audio(self, req: Request, audio: np.ndarray, target: int,
-                    is_final: bool) -> bool:
+                    is_final: bool, start: int = 0) -> bool:
         """Splice + chunked crossfaded emission of decoded audio
-        (test-to-speech.cpp:367-417,554-571)."""
+        (test-to-speech.cpp:367-417,554-571).  `start` is the first code of
+        the decoded window (0 = full-prefix decode)."""
         eng = self.engine
         cfgE = eng.config
-        spc = len(audio) / len(req.codes)
-        begin = int(round(req.committed * spc))
-        end = min(int(round(target * spc)), len(audio))
+        spc = len(audio) / (len(req.codes) - start)
+        begin = int(round((req.committed - start) * spc))
+        end = min(int(round((target - start) * spc)), len(audio))
         if begin >= end:
             if is_final:
                 return req.callback(None, eng.sample_rate, True)
             return True
         req.committed = target
-        # chunked emission with ~30 ms crossfade against the previous tail
+        return self._emit_samples(req, audio, begin, end, is_final)
+
+    def _emit_samples(self, req: Request, audio: np.ndarray, begin: int,
+                      end: int, is_final: bool) -> bool:
+        """Chunked emission of audio[begin:end] with ~30 ms crossfade against
+        the previous tail (test-to-speech.cpp:367-417)."""
+        eng = self.engine
+        cfgE = eng.config
         sr = eng.sample_rate
         crossfade = min(sr * 3 // 100, 4096)
         i, first = begin, True
@@ -236,9 +247,25 @@ class ContinuousBatcher:
             return self._step_fused()
         return self._step_unfused()
 
+    def _flush_pending(self) -> None:
+        """Materialize + emit deferred (pipelined) codec decodes.  Called
+        after the next LLM chunk has been dispatched, so the wait here
+        overlaps LLM compute on the other device."""
+        for audio_dev, items in self._pending:
+            audio_np = np.asarray(audio_dev)
+            spt = self.engine.codec_cfg.samples_per_token
+            for req, row, begin, end, n_dec in items:
+                if req.done:
+                    continue
+                seg = audio_np[row, : n_dec * spt]
+                if not self._emit_samples(req, seg, begin, end, False):
+                    self._finish(req, False)
+        self._pending = []
+
     def _step_unfused(self) -> None:
         self._admit()
         if not np.any(self.active):
+            self._flush_pending()
             return
 
         self._key, key = jax.random.split(self._key)
@@ -247,6 +274,9 @@ class ContinuousBatcher:
                 self.engine.llm_params, self.last_logits, self.cache,
                 jnp.asarray(self.active), key, self._temp, self._stop_ids,
                 self.cfg, self.chunk_steps)
+        # the chunk above is dispatched asynchronously: emit last step's
+        # deferred codec audio (if any) while it runs
+        self._flush_pending()
         buf = np.asarray(buf)
         still_active = np.asarray(active_dev)
 
@@ -282,15 +312,49 @@ class ContinuousBatcher:
         if decode_work:
             # ONE vmapped codec dispatch for every stream that commits this
             # step — N concurrent emissions cost one device round-trip.
-            audios = self.engine.decode_codes_batch(
-                [r.codes for r, _, _ in decode_work],
-                [r.voice for r, _, _ in decode_work])
-            for (req, target, is_final), audio in zip(decode_work, audios):
-                ok = self._emit_audio(req, audio, target, is_final)
-                if is_final:
-                    self._finish(req, ok)
-                elif not ok:
-                    self._finish(req, False)
+            # With stream_window_codes > 0 each stream decodes only its
+            # trailing window (O(T) streaming, see EngineConfig), which also
+            # pins the shared codec bucket to the window size instead of the
+            # longest stream's full prefix.
+            window = self.engine.config.stream_window_codes
+            starts = []
+            for r, _, is_final in decode_work:
+                s = 0
+                if window > 0 and not is_final:
+                    s = max(0, min(r.committed, len(r.codes) - window))
+                starts.append(s)
+            sync_work = list(zip(decode_work, starts))
+            if self.engine.config.pipeline_codec:
+                # non-final commits: dispatch ONE batched decode and defer
+                # its materialization to the next step (it runs on the codec
+                # device while the next LLM chunk runs); finals stay
+                # synchronous — their audio is needed to finish the request
+                deferred = [(r, t, s) for (r, t, f), s in sync_work if not f]
+                sync_work = [w for w in sync_work if w[0][2]]
+                if deferred:
+                    spt = self.engine.codec_cfg.samples_per_token
+                    audio_dev, lens = self.engine.decode_codes_batch_async(
+                        [r.codes[s:] for r, _, s in deferred],
+                        [r.voice for r, _, _ in deferred])
+                    items = []
+                    for row, (req, target, s) in enumerate(deferred):
+                        begin = (req.committed - s) * spt
+                        end = (target - s) * spt
+                        req.committed = target
+                        items.append((req, row, begin, end, lens[row]))
+                    self._pending.append((audio_dev, items))
+            if sync_work:
+                audios = self.engine.decode_codes_batch(
+                    [r.codes[s:] for (r, _, _), s in sync_work],
+                    [r.voice for (r, _, _), _ in sync_work])
+                for ((req, target, is_final), s), audio in zip(sync_work,
+                                                               audios):
+                    ok = self._emit_audio(req, audio, target, is_final,
+                                          start=s)
+                    if is_final:
+                        self._finish(req, ok)
+                    elif not ok:
+                        self._finish(req, False)
 
     def _step_fused(self) -> None:
         """Fused scheduler iteration (see engine._fused_batch_step): one

@@ -263,6 +263,29 @@ class EngineConfig:
     # this runtime).  Stage timing note: the codec share of fused steps is
     # folded into llm_sec; codec_sec/istft_sec then cover the final flush.
     fused_streaming: bool = True
+    # Sliding-window streaming re-decode (0 = off).  The reference re-decodes
+    # the FULL prefix every emit ("quality-first", test-to-speech.cpp:526-528)
+    # — O(T^2) over an utterance.  With a window W > 0 only the last W codes
+    # are re-decoded per emit: O(T) total.  The codec is built from local ops
+    # (window-65 banded attention with relative RoPE, convs), so a window
+    # gives every committed code >= W-minus-pending codes of left context and
+    # the usual 32-code holdback of right context; the only approximation is
+    # the GroupNorm statistics window — the same class of drift the
+    # reference's own prefix re-decode already has vs offline decode (its
+    # stream-compare tool measures RMSE, not exactness).  The final flush
+    # stays a full-prefix decode.
+    stream_window_codes: int = 0
+    # Codec/iSTFT-vs-LLM pipelining (SURVEY.md §2.3): place the codec on a
+    # different device (`codec_device` = jax.devices() index, -1 = same) and
+    # defer each emit's audio materialization by one check interval
+    # (`pipeline_codec`), so the codec decode runs on its device WHILE the
+    # next LLM chunk runs on the LLM device.  Audio is delivered one check
+    # interval later; the commit policy and audio content are unchanged
+    # (tests assert sample-exact parity with the unpipelined path).  Uses the
+    # unfused streaming path (the fused step is a single program and cannot
+    # span devices).
+    codec_device: int = -1
+    pipeline_codec: bool = False
 
 
 @dataclass
@@ -315,6 +338,11 @@ class TTSEngine:
         codec_reader = GGUFReader(config.codec_path)
         self.codec_params, self.codec_cfg = load_codec_params(codec_reader)
         codec_reader.close()
+        if config.codec_device >= 0:
+            devs = jax.devices()
+            self.codec_params = jax.device_put(
+                self.codec_params, devs[min(config.codec_device,
+                                            len(devs) - 1)])
         self.sample_rate = self.codec_cfg.sample_rate
         self.samples_per_token = self.codec_cfg.samples_per_token
         # Persistent single-stream KV cache (the reference allocates a fresh
@@ -385,10 +413,25 @@ class TTSEngine:
                     n_real=jnp.asarray(1, jnp.int32))
                 lm.block_until_ready()
             if self.config.fused_streaming:
-                # precompile the fused streaming step for every codec bucket
+                # precompile the fused streaming step: one bucket per
+                # geometric length in full mode; a single fixed bucket in
+                # sliding-window mode
                 chunk = self.config.stream_check_interval
-                b = _bucket_len(chunk, self.config.code_bucket)
-                while True:
+                if self.config.stream_window_codes > 0:
+                    keep = max(self.config.stream_window_codes,
+                               self.config.holdback_codes
+                               + self.config.min_commit_step_codes + chunk)
+                    buckets_f = [_bucket_len(keep + chunk,
+                                             self.config.code_bucket)]
+                else:
+                    buckets_f = []
+                    b = _bucket_len(chunk, self.config.code_bucket)
+                    while True:
+                        buckets_f.append(b)
+                        if b >= max_codes:
+                            break
+                        b *= 2
+                for b in buckets_f:
                     codes_buf = jnp.zeros((b,), jnp.int32)
                     out = _fused_stream_step(
                         self.llm_params, self.codec_params, last, cache,
@@ -399,9 +442,6 @@ class TTSEngine:
                         self.config.min_commit_step_codes)
                     out[0].block_until_ready()
                     last, cache = out[3], out[4]
-                    if b >= max_codes:
-                        break
-                    b *= 2
             self._cache = cache
 
     # ------------------------------------------------------------------
@@ -554,6 +594,29 @@ class TTSEngine:
                 audio = audio * (0.95 / peak)
         return audio.astype(np.float32)
 
+    def decode_codes_async(self, codes, voice: VoiceModel):
+        """Dispatch a bucketed codec+iSTFT decode WITHOUT materializing the
+        result (JAX async dispatch; with `codec_device` set, it runs there
+        while the caller keeps the LLM device busy).  Returns
+        (audio_device_array, T) — slice the first T * samples_per_token
+        samples after np.asarray()."""
+        codes = np.asarray(codes, np.int32).reshape(-1)
+        T = len(codes)
+        bucket = _bucket_len(T, self.config.code_bucket)
+        padded = np.zeros(bucket, np.int32)
+        padded[:T] = codes
+        emb = jnp.asarray(voice.embedding, jnp.float32)
+        cfg = self.codec_cfg
+        n_real = jnp.asarray(T, jnp.int32)
+        lm, ph = codec_decode_spec(self.codec_params, jnp.asarray(padded),
+                                   emb, cfg, n_real=n_real)
+        audio = spec_to_audio_bucketed(
+            lm, ph, self.codec_params["istft_cos_basis"],
+            self.codec_params["istft_sin_basis"],
+            self.codec_params["istft_hann"],
+            cfg.hop_length, cfg.total_upsample, n_real)
+        return audio, T
+
     def decode_codes_batch(self, codes_list: list, voices: list,
                            profile: StreamProfile | None = None) -> list:
         """Batched codec decode: all sequences padded to ONE bucket and
@@ -593,6 +656,31 @@ class TTSEngine:
             profile.decode_calls += 1
             profile.decoded_codes += sum(lens)
         return [audio[i, : lens[i] * cfg.samples_per_token] for i in range(B)]
+
+    def decode_codes_batch_async(self, codes_list: list, voices: list):
+        """Batched codec decode dispatched WITHOUT materialization (the
+        pipelined batcher's emission path — the vmapped decode runs on the
+        codec device while the next LLM chunk runs).  Returns
+        (audio_device_array [B, bucket*spt], lens)."""
+        assert len(codes_list) == len(voices)
+        cfg = self.codec_cfg
+        lens = [len(c) for c in codes_list]
+        bucket = _bucket_len(max(lens), self.config.code_bucket)
+        B = len(codes_list)
+        padded = np.zeros((B, bucket), np.int32)
+        embs = np.zeros((B, cfg.adaln_dim), np.float32)
+        for i, (c, v) in enumerate(zip(codes_list, voices)):
+            padded[i, :lens[i]] = np.asarray(c, np.int32)
+            embs[i] = v.embedding
+        n_real = jnp.asarray(lens, jnp.int32)
+        lm, ph = _codec_spec_vmapped(self.codec_params, jnp.asarray(padded),
+                                     jnp.asarray(embs), cfg, n_real)
+        audio = _spec_audio_vmapped(
+            lm, ph, self.codec_params["istft_cos_basis"],
+            self.codec_params["istft_sin_basis"],
+            self.codec_params["istft_hann"],
+            cfg.hop_length, cfg.total_upsample, n_real)
+        return audio, lens
 
     def _stream_fused(self, voice: VoiceModel, text: str, emit_range,
                       timed_callback, options: Options,
@@ -641,27 +729,59 @@ class TTSEngine:
         committed = 0
         n_gen = 0
         stopped = False
-        cur_bucket = _bucket_len(chunk, cfgE.code_bucket)
+        # Sliding-window mode: the device buffer holds only the last
+        # `cur_bucket` codes (`offset` = how many older codes were dropped);
+        # ONE fused executable serves the whole stream and each emit decodes
+        # O(window) codes.  Full mode keeps the reference's O(T^2) prefix
+        # re-decode in geometrically growing buckets.
+        win_mode = cfgE.stream_window_codes > 0
+        offset = 0
+        if win_mode:
+            keep = max(cfgE.stream_window_codes,
+                       cfgE.holdback_codes + cfgE.min_commit_step_codes
+                       + chunk)
+            cur_bucket = _bucket_len(keep + chunk, cfgE.code_bucket)
+        else:
+            cur_bucket = _bucket_len(chunk, cfgE.code_bucket)
         codes_buf = jnp.zeros((cur_bucket,), jnp.int32)
         n_codes_dev = jnp.int32(0)
         ok = True
 
         while n_gen < max_tok and not stopped:
             n_steps = min(chunk, max_tok - n_gen)
-            want_bucket = _bucket_len(len(codes) + n_steps, cfgE.code_bucket)
-            if want_bucket != cur_bucket:
-                cur_bucket = want_bucket
-                nb = np.zeros(cur_bucket, np.int32)
-                nb[:len(codes)] = codes
-                codes_buf = jnp.asarray(nb)
-                n_codes_dev = jnp.int32(len(codes))
+            if win_mode:
+                if len(codes) - offset + n_steps > cur_bucket:
+                    # slide: drop committed codes from the device buffer (the
+                    # host mirror keeps everything for the final flush).  If
+                    # commits have stalled the window can't slide past them —
+                    # grow the bucket instead so no code is ever dropped.
+                    new_offset = max(offset, min(
+                        len(codes) - (cur_bucket - n_steps), committed))
+                    need = len(codes) - new_offset + n_steps
+                    while cur_bucket < need:
+                        cur_bucket *= 2
+                    offset = new_offset
+                    n_local = len(codes) - offset
+                    nb = np.zeros(cur_bucket, np.int32)
+                    nb[:n_local] = codes[offset:]
+                    codes_buf = jnp.asarray(nb)
+                    n_codes_dev = jnp.int32(n_local)
+            else:
+                want_bucket = _bucket_len(len(codes) + n_steps,
+                                          cfgE.code_bucket)
+                if want_bucket != cur_bucket:
+                    cur_bucket = want_bucket
+                    nb = np.zeros(cur_bucket, np.int32)
+                    nb[:len(codes)] = codes
+                    codes_buf = jnp.asarray(nb)
+                    n_codes_dev = jnp.int32(len(codes))
 
             t1 = time.perf_counter()
             (buf, cnt, done, last, cache, key, codes_buf, n_codes_dev,
              do_emit, target, audio) = _fused_stream_step(
                 self.llm_params, self.codec_params, last, cache, key,
                 temp_arr, stop_ids, self._speech_table_dev, codes_buf,
-                n_codes_dev, jnp.int32(committed), emb, cfg, cfgc,
+                n_codes_dev, jnp.int32(committed - offset), emb, cfg, cfgc,
                 n_steps, cur_bucket, cfgE.holdback_codes,
                 cfgE.min_commit_step_codes)
             buf_h, cnt_h, done_h, emit_h, target_h = jax.device_get(
@@ -683,11 +803,11 @@ class TTSEngine:
             # final flush.
             if bool(emit_h) and int(cnt_h) == n_steps == chunk:
                 profile.decode_calls += 1
-                profile.decoded_codes += len(codes)
+                profile.decoded_codes += len(codes) - offset
                 audio_np = np.asarray(audio)
-                begin = committed * spt
+                begin = (committed - offset) * spt
                 end = int(target_h) * spt
-                committed = int(target_h)
+                committed = offset + int(target_h)
                 if not emit_range(audio_np, begin, end, False):
                     self._cache = cache
                     return False
@@ -803,7 +923,8 @@ class TTSEngine:
             profile.total_sec = time.perf_counter() - t_total0
             return ok
 
-        if self.config.fused_streaming and self.llm_params is not None:
+        if (self.config.fused_streaming and self.llm_params is not None
+                and not self.config.pipeline_codec):
             ok = self._stream_fused(voice, text, emit_range, timed_callback,
                                     options, profile)
             profile.total_sec = time.perf_counter() - t_total0
@@ -811,6 +932,21 @@ class TTSEngine:
 
         committed = 0
         codes: list[int] = []
+        # pipelined mode: each non-final emit's audio is a device array whose
+        # materialization is deferred to the NEXT emit check — the codec
+        # decode (on codec_device) overlaps the LLM chunk in between
+        pipeline = self.config.pipeline_codec
+        spt = self.samples_per_token
+        pending: list = []            # [(audio_dev, T, begin, end)] 0 or 1
+
+        def flush_pending() -> bool:
+            if not pending:
+                return True
+            audio_dev, Tdec, begin, end = pending.pop()
+            t0 = time.perf_counter()
+            audio = np.asarray(audio_dev)[: Tdec * spt]
+            profile.codec_sec += time.perf_counter() - t0
+            return emit_range(audio, begin, end, False)
 
         def maybe_emit(is_final: bool) -> bool:
             nonlocal committed
@@ -820,17 +956,39 @@ class TTSEngine:
                 len(codes) - self.config.holdback_codes, 0)
             if target <= committed:
                 if is_final:
+                    if not flush_pending():
+                        return False
                     return timed_callback(None, True)
                 return True
             if not is_final and (target - committed) < self.config.min_commit_step_codes:
                 return True
-            # quality-first: re-decode the FULL accumulated prefix
-            audio = self.decode_codes(codes, voice,
+            # quality-first default: re-decode the FULL accumulated prefix;
+            # with stream_window_codes > 0, re-decode only the trailing
+            # window (O(T) streaming — see EngineConfig)
+            window = self.config.stream_window_codes
+            start = 0
+            if window > 0 and not is_final:
+                start = max(0, min(committed, len(codes) - window))
+            if pipeline and not is_final:
+                # dispatch first, then emit the PREVIOUS decode's audio —
+                # the new decode runs while the host splices/emits and while
+                # the next LLM chunk runs
+                audio_dev, Tdec = self.decode_codes_async(codes[start:], voice)
+                profile.decode_calls += 1
+                profile.decoded_codes += Tdec
+                ok = flush_pending()
+                pending.append((audio_dev, Tdec, (committed - start) * spt,
+                                (target - start) * spt))
+                committed = target
+                return ok
+            if not flush_pending():
+                return False
+            audio = self.decode_codes(codes[start:], voice,
                                       apply_peak_normalization=False,
                                       profile=profile)
-            spc = len(audio) / len(codes) if codes else 0.0
-            begin = int(round(committed * spc))
-            end = int(round(target * spc))
+            spc = len(audio) / (len(codes) - start) if codes else 0.0
+            begin = int(round((committed - start) * spc))
+            end = int(round((target - start) * spc))
             safe_end = min(end, len(audio))
             if begin >= safe_end:
                 if is_final:

@@ -164,3 +164,100 @@ def test_fused_batcher_completes(engine):
                        Options(max_tokens=25, temperature=1.0))
     batcher.run_until_done(max_iters=100)
     assert batcher.pending == 0
+
+
+def test_windowed_batcher_matches_full(engine):
+    """stream_window_codes in the batcher: same emitted sample totals as
+    full-prefix re-decode at the same seed, less decode work, bounded drift
+    (window-local GroupNorm stats only)."""
+    import jax
+    eng, voice = engine
+    cfgE = eng.config
+    saved = (cfgE.stream_window_codes, cfgE.holdback_codes,
+             cfgE.min_commit_step_codes)
+
+    def run(window):
+        cfgE.stream_window_codes = window
+        cfgE.holdback_codes = 6
+        cfgE.min_commit_step_codes = 4
+        batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10)
+        batcher._key = jax.random.PRNGKey(9)
+        chunks = {0: [], 1: []}
+
+        def cb_factory(i):
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    chunks[i].append(samples.copy())
+                return True
+            return cb
+
+        for i in range(2):
+            batcher.submit(f"window stream {i}", voice, cb_factory(i),
+                           Options(max_tokens=120, temperature=1.0))
+        batcher.run_until_done(max_iters=300)
+        assert batcher.pending == 0
+        return [np.concatenate(chunks[i]) if chunks[i]
+                else np.zeros(0, np.float32) for i in range(2)]
+
+    try:
+        full = run(0)
+        win = run(8)
+    finally:
+        (cfgE.stream_window_codes, cfgE.holdback_codes,
+         cfgE.min_commit_step_codes) = saved
+
+    for a, b in zip(full, win):
+        assert a.shape == b.shape
+        if a.size:
+            rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+            scale = float(np.sqrt(np.mean(a ** 2))) + 1e-9
+            assert rmse / scale < 0.3
+
+
+def test_pipelined_batcher_matches_sync(engine):
+    """pipeline_codec in the batcher: identical emitted audio per stream as
+    the synchronous path at the same seed (same decodes/commits, deferred
+    materialization), with the codec placed on a second device."""
+    import jax
+    eng, voice = engine
+    cfgE = eng.config
+    saved = (cfgE.pipeline_codec, cfgE.holdback_codes,
+             cfgE.min_commit_step_codes)
+    codec_params0 = eng.codec_params
+
+    def run(pipeline):
+        cfgE.pipeline_codec = pipeline
+        cfgE.holdback_codes = 6
+        cfgE.min_commit_step_codes = 4
+        if pipeline:
+            eng.codec_params = jax.device_put(codec_params0, jax.devices()[1])
+        batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10)
+        batcher._key = jax.random.PRNGKey(9)
+        chunks = {0: [], 1: []}
+
+        def cb_factory(i):
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    chunks[i].append(samples.copy())
+                return True
+            return cb
+
+        for i in range(2):
+            batcher.submit(f"pipeline stream {i}", voice, cb_factory(i),
+                           Options(max_tokens=120, temperature=1.0))
+        batcher.run_until_done(max_iters=300)
+        assert batcher.pending == 0
+        return [np.concatenate(chunks[i]) if chunks[i]
+                else np.zeros(0, np.float32) for i in range(2)]
+
+    try:
+        sync = run(False)
+        pipe = run(True)
+    finally:
+        (cfgE.pipeline_codec, cfgE.holdback_codes,
+         cfgE.min_commit_step_codes) = saved
+        eng.codec_params = codec_params0
+
+    for a, b in zip(sync, pipe):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)

@@ -122,6 +122,104 @@ def test_emit_thresholds(engine, rng):
         eng.generate_tokens = orig
 
 
+def test_windowed_streaming_unfused(engine, rng):
+    """Sliding-window re-decode (stream_window_codes > 0): same commit
+    schedule and sample counts as the full-prefix re-decode; bit-identical
+    when the window covers the whole prefix; bounded drift (GroupNorm stats
+    window only — attention is relative-RoPE, convs shift-invariant) when it
+    doesn't; and strictly less decode work."""
+    eng, voice = engine
+    orig = eng.generate_tokens
+    orig_w = eng.config.stream_window_codes
+    try:
+        codes = rng.integers(0, 64, 121)
+
+        def run(window):
+            _scripted(eng, codes)
+            eng.config.stream_window_codes = window
+            chunks = []
+
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    chunks.append(samples.copy())
+                return True
+
+            profile = StreamProfile()
+            ok = eng.synthesize_stream(voice, "ignored", cb,
+                                       options=Options(max_tokens=500),
+                                       profile=profile)
+            assert ok
+            return np.concatenate(chunks), profile
+
+        full, pf = run(0)
+        same, _ = run(1000)        # window >= prefix -> identical decodes
+        win, pw = run(48)
+        np.testing.assert_allclose(same, full, atol=1e-6)
+        assert win.shape == full.shape
+        assert pw.decode_calls == pf.decode_calls
+        assert pw.decoded_codes < pf.decoded_codes
+        rmse = float(np.sqrt(np.mean((win - full) ** 2)))
+        scale = float(np.sqrt(np.mean(full ** 2))) + 1e-9
+        assert rmse / scale < 0.3
+    finally:
+        eng.generate_tokens = orig
+        eng.config.stream_window_codes = orig_w
+
+
+def test_fused_windowed_streaming(engine):
+    """Fused sliding-window streaming: one fixed-size device buffer serves
+    the whole stream (the buffer slides past committed codes); emit schedule
+    and total sample count match the fused full re-decode, with bounded
+    drift."""
+    eng, voice = engine
+    cfgE = eng.config
+    saved = (cfgE.stream_window_codes, cfgE.holdback_codes,
+             cfgE.min_commit_step_codes, cfgE.stream_check_interval,
+             cfgE.fused_streaming)
+
+    def run(window):
+        cfgE.fused_streaming = True
+        cfgE.stream_window_codes = window
+        # small policy constants so the window actually slides within a
+        # tiny-model test budget
+        cfgE.holdback_codes = 8
+        cfgE.min_commit_step_codes = 6
+        cfgE.stream_check_interval = 10
+        chunks = []
+
+        def cb(samples, sr, is_last):
+            if samples is not None:
+                chunks.append(samples.copy())
+            return True
+
+        profile = StreamProfile()
+        # seed 1 runs the full 400-token budget and yields ~77 codes with
+        # this synthetic LLM — enough for the 64-slot window buffer to slide
+        ok = eng.synthesize_stream(voice, "fused window parity", cb,
+                                   options=Options(max_tokens=400,
+                                                   temperature=1.0, seed=1),
+                                   profile=profile)
+        assert ok or not chunks
+        return (np.concatenate(chunks) if chunks else
+                np.zeros(0, np.float32)), profile
+
+    try:
+        a, pa = run(0)
+        b, pb = run(20)
+    finally:
+        (cfgE.stream_window_codes, cfgE.holdback_codes,
+         cfgE.min_commit_step_codes, cfgE.stream_check_interval,
+         cfgE.fused_streaming) = saved
+    assert a.shape == b.shape
+    assert pa.decode_calls == pb.decode_calls
+    assert pa.decode_calls >= 2          # multiple emits happened
+    assert pb.decoded_codes < pa.decoded_codes   # windowed did less work
+    if a.size:
+        rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+        scale = float(np.sqrt(np.mean(a ** 2))) + 1e-9
+        assert rmse / scale < 0.3
+
+
 def test_fused_matches_unfused_streaming(engine):
     """The fused single-executable streaming path must produce the same
     chunks as the unfused path at the same seed."""
@@ -150,3 +248,46 @@ def test_fused_matches_unfused_streaming(engine):
         eng.config.fused_streaming = True
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_pipelined_codec_streaming(engine, rng):
+    """pipeline_codec (+ codec on a second device): sample-exact parity with
+    the synchronous unfused path — same decodes in the same order, only the
+    materialization is deferred one check interval."""
+    import jax
+    eng, voice = engine
+    orig = eng.generate_tokens
+    saved = eng.config.pipeline_codec
+    codec_params0 = eng.codec_params
+    try:
+        codes = rng.integers(0, 64, 121)
+
+        def run(pipeline):
+            _scripted(eng, codes)
+            eng.config.pipeline_codec = pipeline
+            if pipeline:
+                eng.codec_params = jax.device_put(codec_params0,
+                                                  jax.devices()[1])
+            chunks = []
+
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    chunks.append(samples.copy())
+                return True
+
+            profile = StreamProfile()
+            ok = eng.synthesize_stream(voice, "ignored", cb,
+                                       options=Options(max_tokens=500),
+                                       profile=profile)
+            assert ok
+            return np.concatenate(chunks), profile
+
+        a, pa = run(False)
+        b, pb = run(True)
+        assert pb.decode_calls == pa.decode_calls
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    finally:
+        eng.generate_tokens = orig
+        eng.config.pipeline_codec = saved
+        eng.codec_params = codec_params0
