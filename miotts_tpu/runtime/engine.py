@@ -46,13 +46,14 @@ StreamCallback = Callable[[Optional[np.ndarray], int, bool], bool]
 
 @partial(jax.jit,
          static_argnames=("llm_cfg", "codec_cfg", "n_steps", "code_bucket",
-                          "holdback", "min_step"),
+                          "holdback", "min_step", "win_slide", "final_flush"),
          donate_argnames=("cache", "codes_buf"))
 def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
                        temperature, stop_ids, code_table, codes_buf, n_codes,
-                       committed, voice_emb, llm_cfg, codec_cfg,
-                       n_steps: int, code_bucket: int, holdback: int,
-                       min_step: int):
+                       committed, stopped, n_tokens, max_toks, voice_emb,
+                       llm_cfg, codec_cfg, n_steps: int, code_bucket: int,
+                       holdback: int, min_step: int, win_slide: bool = False,
+                       final_flush: bool = False):
     """One streaming step, fully fused into a single executable: generate a
     chunk of tokens (on-device while_loop), append their codec codes to the
     device-resident code buffer, evaluate the commit-holdback policy
@@ -65,20 +66,42 @@ def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
     program.  The audio output is only transferred when the host actually
     emits (async dispatch — jax keeps it on device otherwise).
 
-    Returns (tok_buf [n_steps], n_gen, done, last_logits, cache, key,
-    codes_buf, n_codes, do_emit, target, audio [code_bucket * spt]).
+    ALL loop-control state lives on device (`stopped` stop-token latch,
+    `n_tokens`/`max_toks` budget, `committed` commit watermark, and — with
+    `win_slide` — the sliding-window buffer drop), so the host can dispatch
+    chunk k+1 BEFORE reading chunk k's results: a 2-deep dispatch pipeline
+    that hides the host<->device round-trip per chunk (see _stream_fused).
+    A step dispatched after the stream already stopped is a no-op (the
+    while_loop exits immediately and the policy cannot fire).
+
+    Returns (tok_buf [n_steps], n_gen, stopped, last_logits, cache, key,
+    codes_buf, n_codes, committed, n_tokens, do_emit, begin, target, flush,
+    audio [code_bucket * spt]); begin/target are code indices into the
+    decoded window for the host's emit range; `flush` signals the
+    device-side final flush covering [target-or-begin, n_codes).
     """
     from ..models.codec import codec_decode_spec
     from ..models.llm import llm_decode_step, sample_token
 
+    if win_slide:
+        # sliding-window mode: drop already-committed codes from the FRONT
+        # of the fixed-size buffer when the coming chunk would overflow it
+        # (device analog of the host slide; the policy bounds uncommitted
+        # codes by holdback+min_step-1+chunk, so the clamp never binds with
+        # the warmup's bucket sizing).
+        d = jnp.clip(n_codes + n_steps - code_bucket, 0, committed)
+        codes_buf = jnp.roll(codes_buf, -d)
+        n_codes = n_codes - d
+        committed = committed - d
+
     buf0 = jnp.full((n_steps,), -1, jnp.int32)
 
     def cond_fn(carry):
-        i, done, *_ = carry
-        return jnp.logical_and(i < n_steps, jnp.logical_not(done))
+        i, stopped, last, cache, key, buf, codes_buf, n_codes, n_tok = carry
+        return (i < n_steps) & jnp.logical_not(stopped) & (n_tok < max_toks)
 
     def body(carry):
-        i, done, last, cache, key, buf, codes_buf, n_codes = carry
+        i, stopped, last, cache, key, buf, codes_buf, n_codes, n_tok = carry
         key, sub = jax.random.split(key)
         tok = sample_token(last, temperature, sub)
         is_stop = jnp.any(tok[0] == stop_ids)
@@ -94,18 +117,36 @@ def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
 
         last, cache = jax.lax.cond(is_stop, lambda a: a, step, (last, cache))
         i = jnp.where(is_stop, i, i + 1)
-        return i, is_stop, last, cache, key, buf, codes_buf, n_codes
+        n_tok = jnp.where(is_stop, n_tok, n_tok + 1)
+        return i, is_stop, last, cache, key, buf, codes_buf, n_codes, n_tok
 
-    i, done, last, cache, key, buf, codes_buf, n_codes = jax.lax.while_loop(
-        cond_fn, body,
-        (jnp.int32(0), jnp.bool_(False), last_logits, cache, key, buf0,
-         codes_buf, n_codes))
+    (i, stopped, last, cache, key, buf, codes_buf, n_codes, n_tokens) = \
+        jax.lax.while_loop(
+            cond_fn, body,
+            (jnp.int32(0), stopped, last_logits, cache, key, buf0,
+             codes_buf, n_codes, n_tokens))
 
-    # commit-holdback policy on device (non-final; the final flush runs
-    # host-side)
+    # commit-holdback policy on device.  Reference cadence: emission only
+    # after FULL chunks (test-to-speech.cpp:608) — partial chunks (stop /
+    # budget) defer to the final flush, hence the (i == n_steps) gate.
     target = jnp.maximum(n_codes - holdback, 0)
-    do_emit = (n_codes > 0) & (target > committed) & \
+    do_emit = (i == n_steps) & (n_codes > 0) & (target > committed) & \
         ((target - committed) >= min_step)
+    begin = committed
+    committed = jnp.where(do_emit, target, committed)
+
+    if final_flush:
+        # Device-side final flush (full mode only — the device buffer holds
+        # the whole prefix): when the stream just ended (stop token or token
+        # budget), flush [committed, n_codes) with NO holdback, in the SAME
+        # decode the policy emit uses (maybe_emit(true),
+        # test-to-speech.cpp:616-617).  Saves the separate host flush path
+        # and its program switches on the last chunk.
+        final = stopped | (n_tokens >= max_toks)
+        flush = final & (n_codes > committed)
+        committed = jnp.where(flush, n_codes, committed)
+    else:
+        flush = jnp.bool_(False)
 
     spt = codec_cfg.samples_per_token
 
@@ -118,10 +159,21 @@ def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
             codec_cfg.hop_length, codec_cfg.total_upsample, n_codes)
 
     audio = jax.lax.cond(
-        do_emit, decode,
+        do_emit | flush, decode,
         lambda _: jnp.zeros((code_bucket * spt,), jnp.float32), None)
-    return (buf, i, done, last, cache, key, codes_buf, n_codes, do_emit,
-            target, audio)
+    # Small transfer window: everything this step can emit starts at `begin`
+    # and spans at most holdback + min_step + n_steps codes (the policy
+    # bounds uncommitted codes by holdback+min_step-1 after every full
+    # chunk, +n_steps fresh ones).  The host materializes only this slice —
+    # ~7x less host<->device traffic per emit than the full window buffer
+    # (which stays available as outs[14] for the out-of-bound fallback).
+    k_codes = holdback + min_step + n_steps
+    padded = jnp.concatenate(
+        [audio, jnp.zeros((k_codes * spt,), jnp.float32)])
+    audio_slice = jax.lax.dynamic_slice(
+        padded, (begin * spt,), (k_codes * spt,))
+    return (buf, i, stopped, last, cache, key, codes_buf, n_codes, committed,
+            n_tokens, do_emit, begin, target, flush, audio, audio_slice)
 
 
 @partial(jax.jit,
@@ -224,6 +276,14 @@ def _spec_audio_vmapped(lm_b, ph_b, cos_b, sin_b, hann, hop, frames_per_code,
         in_axes=(0, 0, 0))(lm_b, ph_b, n_real_b)
 
 
+@partial(jax.jit, static_argnames=("new_len",))
+def _grow_buf(buf, new_len: int):
+    """Grow a device code buffer in place (full-mode bucket growth) — a
+    device-only op, so the dispatch pipeline never has to drain or upload
+    the host mirror at a rebucket point."""
+    return jnp.zeros((new_len,), buf.dtype).at[:buf.shape[0]].set(buf)
+
+
 def _round_up(x: int, m: int) -> int:
     return max(m, (x + m - 1) // m * m)
 
@@ -263,6 +323,12 @@ class EngineConfig:
     # this runtime).  Stage timing note: the codec share of fused steps is
     # folded into llm_sec; codec_sec/istft_sec then cover the final flush.
     fused_streaming: bool = True
+    # Fused-step dispatch pipelining: with all loop-control state on device
+    # (stop latch, token budget, commit watermark, window slide), chunk k+1
+    # is dispatched before chunk k's results are read; depth 2 hides the
+    # per-chunk host<->device round-trip behind device compute.  1 = fully
+    # synchronous (for A/B measurement).
+    stream_pipeline_depth: int = 2
     # Sliding-window streaming re-decode (0 = off).  The reference re-decodes
     # the FULL prefix every emit ("quality-first", test-to-speech.cpp:526-528)
     # — O(T^2) over an utterance.  With a window W > 0 only the last W codes
@@ -305,10 +371,18 @@ class VoiceModel:
     def __init__(self, path: str | None = None, embedding: np.ndarray | None = None):
         self.path = path or ""
         self.embedding = None
+        self._dev_emb = None
         if embedding is not None:
             self.embedding = np.asarray(embedding, np.float32)
         elif path:
             self.embedding = load_voice_embedding(path)
+
+    def device_embedding(self):
+        """Device-resident copy of the embedding, uploaded once (transfer
+        latency on a relay-tunneled chip is per-transfer, not per-byte)."""
+        if self._dev_emb is None:
+            self._dev_emb = jnp.asarray(self.embedding, jnp.float32)
+        return self._dev_emb
 
     @property
     def is_ready(self) -> bool:
@@ -334,6 +408,8 @@ class TTSEngine:
             self._speech_table_dev = jnp.asarray(self.code_table)
             self._im_end_id = self.tokenizer.token_to_id.get("<|im_end|>", -1)
             self._eos_id = self.tokenizer.eos_id
+            self._stop_ids_dev = jnp.asarray([self._eos_id, self._im_end_id],
+                                             jnp.int32)
 
         codec_reader = GGUFReader(config.codec_path)
         self.codec_params, self.codec_cfg = load_codec_params(codec_reader)
@@ -431,15 +507,23 @@ class TTSEngine:
                         if b >= max_codes:
                             break
                         b *= 2
-                for b in buckets_f:
+                for bi, b in enumerate(buckets_f):
+                    if bi > 0:
+                        # precompile the in-place device bucket growth the
+                        # serving loop uses between these sizes
+                        _grow_buf(jnp.zeros((buckets_f[bi - 1],), jnp.int32),
+                                  b).block_until_ready()
                     codes_buf = jnp.zeros((b,), jnp.int32)
                     out = _fused_stream_step(
                         self.llm_params, self.codec_params, last, cache,
                         jax.random.PRNGKey(0), jnp.float32(1.0), stop_ids,
                         self._speech_table_dev, codes_buf, jnp.int32(0),
-                        jnp.int32(0), emb_w, cfg, cfgc, chunk, b,
+                        jnp.int32(0), jnp.bool_(False), jnp.int32(0),
+                        jnp.int32(1 << 30), emb_w, cfg, cfgc, chunk, b,
                         self.config.holdback_codes,
-                        self.config.min_commit_step_codes)
+                        self.config.min_commit_step_codes,
+                        self.config.stream_window_codes > 0,
+                        not self.config.stream_window_codes > 0)
                     out[0].block_until_ready()
                     last, cache = out[3], out[4]
             self._cache = cache
@@ -719,75 +803,56 @@ class TTSEngine:
 
         key = jax.random.PRNGKey(seed)
         temp_arr = jnp.float32(temp)
-        stop_ids = jnp.asarray([self._eos_id, self._im_end_id], jnp.int32)
-        emb = jnp.asarray(voice.embedding, jnp.float32)
+        stop_ids = self._stop_ids_dev
+        emb = voice.device_embedding()
         table = self.code_table
         spt = cfgc.samples_per_token
         chunk = cfgE.stream_check_interval
 
         codes: list[int] = []          # host mirror of the device buffer
-        committed = 0
+        committed = 0                  # global commit watermark (host)
         n_gen = 0
         stopped = False
-        # Sliding-window mode: the device buffer holds only the last
-        # `cur_bucket` codes (`offset` = how many older codes were dropped);
-        # ONE fused executable serves the whole stream and each emit decodes
-        # O(window) codes.  Full mode keeps the reference's O(T^2) prefix
-        # re-decode in geometrically growing buckets.
+        # Sliding-window mode: the device buffer holds only the trailing
+        # `cur_bucket` codes (the step slides it ON DEVICE past committed
+        # codes); ONE fixed executable serves the whole stream and each emit
+        # decodes O(window) codes.  Full mode keeps the reference's O(T^2)
+        # prefix re-decode; its bucket schedule is driven by the DISPATCH
+        # count (codes generated <= tokens = k*chunk), so rebucket points
+        # are known before results arrive and the pipeline only drains there.
         win_mode = cfgE.stream_window_codes > 0
-        offset = 0
         if win_mode:
             keep = max(cfgE.stream_window_codes,
                        cfgE.holdback_codes + cfgE.min_commit_step_codes
                        + chunk)
             cur_bucket = _bucket_len(keep + chunk, cfgE.code_bucket)
         else:
-            cur_bucket = _bucket_len(chunk, cfgE.code_bucket)
+            cur_bucket = _bucket_len(min(chunk, max_tok), cfgE.code_bucket)
         codes_buf = jnp.zeros((cur_bucket,), jnp.int32)
+        # Device-side loop state: stop latch, token budget and commit
+        # watermark live on device so chunk k+1 can be dispatched BEFORE
+        # chunk k's results are read — a depth-2 dispatch pipeline that
+        # hides the per-chunk host<->device round-trip (the dominant
+        # single-stream cost on this relay-tunneled chip).
         n_codes_dev = jnp.int32(0)
-        ok = True
+        committed_dev = jnp.int32(0)
+        stopped_dev = jnp.bool_(False)
+        n_tokens_dev = jnp.int32(0)
+        max_toks_dev = jnp.int32(max_tok)
+        depth = max(1, cfgE.stream_pipeline_depth)
+        pending: list = []             # in-flight step outputs, oldest first
+        flushed = False                # device-side final flush delivered
+        k_codes = cfgE.holdback_codes + cfgE.min_commit_step_codes + chunk
 
-        while n_gen < max_tok and not stopped:
-            n_steps = min(chunk, max_tok - n_gen)
-            if win_mode:
-                if len(codes) - offset + n_steps > cur_bucket:
-                    # slide: drop committed codes from the device buffer (the
-                    # host mirror keeps everything for the final flush).  If
-                    # commits have stalled the window can't slide past them —
-                    # grow the bucket instead so no code is ever dropped.
-                    new_offset = max(offset, min(
-                        len(codes) - (cur_bucket - n_steps), committed))
-                    need = len(codes) - new_offset + n_steps
-                    while cur_bucket < need:
-                        cur_bucket *= 2
-                    offset = new_offset
-                    n_local = len(codes) - offset
-                    nb = np.zeros(cur_bucket, np.int32)
-                    nb[:n_local] = codes[offset:]
-                    codes_buf = jnp.asarray(nb)
-                    n_codes_dev = jnp.int32(n_local)
-            else:
-                want_bucket = _bucket_len(len(codes) + n_steps,
-                                          cfgE.code_bucket)
-                if want_bucket != cur_bucket:
-                    cur_bucket = want_bucket
-                    nb = np.zeros(cur_bucket, np.int32)
-                    nb[:len(codes)] = codes
-                    codes_buf = jnp.asarray(nb)
-                    n_codes_dev = jnp.int32(len(codes))
-
+        def process(outs) -> bool:
+            """Consume one completed step: update the host mirror + emit."""
+            nonlocal n_gen, stopped, committed, flushed
             t1 = time.perf_counter()
-            (buf, cnt, done, last, cache, key, codes_buf, n_codes_dev,
-             do_emit, target, audio) = _fused_stream_step(
-                self.llm_params, self.codec_params, last, cache, key,
-                temp_arr, stop_ids, self._speech_table_dev, codes_buf,
-                n_codes_dev, jnp.int32(committed - offset), emb, cfg, cfgc,
-                n_steps, cur_bucket, cfgE.holdback_codes,
-                cfgE.min_commit_step_codes)
-            buf_h, cnt_h, done_h, emit_h, target_h = jax.device_get(
-                (buf, cnt, done, do_emit, target))
+            (buf_h, cnt_h, done_h, emit_h, begin_h, target_h, n_codes_h,
+             flush_h) = jax.device_get(
+                (outs[0], outs[1], outs[2], outs[10], outs[11], outs[12],
+                 outs[7], outs[13]))
             profile.llm_sec += time.perf_counter() - t1
-
             for j in range(int(cnt_h)):
                 tid = int(buf_h[j])
                 n_gen += 1
@@ -796,27 +861,90 @@ class TTSEngine:
                     codes.append(int(c))
             profile.llm_tokens = n_gen
             stopped = bool(done_h)
-
-            # Reference cadence: emission only at exact multiples of the
-            # check interval (test-to-speech.cpp:608) — i.e. after FULL
-            # chunks; early-stopped or budget-truncated chunks defer to the
-            # final flush.
-            if bool(emit_h) and int(cnt_h) == n_steps == chunk:
+            if bool(emit_h) or bool(flush_h):
                 profile.decode_calls += 1
-                profile.decoded_codes += len(codes) - offset
-                audio_np = np.asarray(audio)
-                begin = (committed - offset) * spt
-                end = int(target_h) * spt
-                committed = offset + int(target_h)
-                if not emit_range(audio_np, begin, end, False):
-                    self._cache = cache
+                profile.decoded_codes += int(n_codes_h)
+                end_c = int(n_codes_h) if bool(flush_h) else int(target_h)
+                t1 = time.perf_counter()
+                if end_c - int(begin_h) <= k_codes:
+                    # normal case: materialize only the emit-window slice
+                    # (coordinates relative to `begin`)
+                    audio_np = np.asarray(outs[15])
+                    base = int(begin_h)
+                else:  # pragma: no cover - policy bounds make this unreachable
+                    audio_np = np.asarray(outs[14])
+                    base = 0
+                # audio materialization rides the codec timer (the decode
+                # itself runs inside the fused step; see fused_streaming doc)
+                profile.codec_sec += time.perf_counter() - t1
+            if bool(emit_h):
+                committed += int(target_h) - int(begin_h)
+                if not emit_range(audio_np, (int(begin_h) - base) * spt,
+                                  (int(target_h) - base) * spt, False):
                     return False
+            if bool(flush_h):
+                # device-side final flush: [committed, n_codes) with no
+                # holdback, ending the stream (maybe_emit(true))
+                start = int(target_h) if bool(emit_h) else int(begin_h)
+                committed += int(n_codes_h) - start
+                flushed = True
+                if not emit_range(audio_np, (start - base) * spt,
+                                  (int(n_codes_h) - base) * spt, True):
+                    return False
+            return True
+
+        k = 0                          # chunks dispatched
+        ok = True
+
+        def drain() -> None:
+            # consume all in-flight steps; after a callback abort the
+            # remaining outputs are discarded unprocessed (no further emits)
+            nonlocal ok
+            while pending:
+                outs = pending.pop(0)
+                if ok:
+                    ok = process(outs)
+
+        while ok and k * chunk < max_tok and not stopped:
+            if not win_mode:
+                want = _bucket_len(min((k + 1) * chunk, max_tok),
+                                   cfgE.code_bucket)
+                if want != cur_bucket:
+                    # grow the device buffer in place — a device-only op,
+                    # so the pipeline keeps flowing through rebucket points
+                    codes_buf = _grow_buf(codes_buf, want)
+                    cur_bucket = want
+            t1 = time.perf_counter()
+            outs = _fused_stream_step(
+                self.llm_params, self.codec_params, last, cache, key,
+                temp_arr, stop_ids, self._speech_table_dev, codes_buf,
+                n_codes_dev, committed_dev, stopped_dev, n_tokens_dev,
+                max_toks_dev, emb, cfg, cfgc,
+                chunk, cur_bucket, cfgE.holdback_codes,
+                cfgE.min_commit_step_codes, win_mode, not win_mode)
+            profile.llm_sec += time.perf_counter() - t1
+            (_, _, stopped_dev, last, cache, key, codes_buf, n_codes_dev,
+             committed_dev, n_tokens_dev) = outs[:10]
+            pending.append(outs)
+            k += 1
+            if len(pending) >= depth:
+                ok = process(pending.pop(0))
+        drain()
+        if not ok:
+            self._cache = cache
+            return False
 
         self._cache = cache
 
-        # final flush (host codec path; mirrors maybe_emit(is_final=True))
+        # final flush — normally already delivered ON DEVICE by the last
+        # chunk (full mode, `flush` output); the host path remains for
+        # sliding-window mode (whose flush is a full-prefix decode wider
+        # than the device window) and as the degenerate-stream fallback
+        # (mirrors maybe_emit(is_final=True))
         if not codes:
             return False
+        if flushed:
+            return True
         if len(codes) <= committed:
             return timed_callback(None, True)
         audio = self.decode_codes(codes, voice,

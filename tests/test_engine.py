@@ -125,7 +125,10 @@ def test_stream_llm_policy(engine):
         total = sum(len(c) for c in chunks)
         assert profile.emitted_samples == total
         assert profile.decode_calls >= 1
-        assert profile.codec_sec > 0 and profile.istft_sec > 0
+        if not eng.config.fused_streaming:
+            # fused steps (incl. the device-side final flush) fold codec
+            # time into llm_sec (see EngineConfig.fused_streaming)
+            assert profile.codec_sec > 0 and profile.istft_sec > 0
         assert profile.first_audio_sec >= 0
 
 
