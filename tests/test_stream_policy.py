@@ -250,6 +250,69 @@ def test_fused_matches_unfused_streaming(engine):
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+def test_dispatch_pipeline_depth_parity(engine):
+    """The depth-k dispatch pipeline (chunk k+1 dispatched before chunk k's
+    results are read) must be invisible: identical audio and emit schedule
+    at every depth, including through full-mode bucket-growth points
+    (code_bucket=16 forces several _grow_buf rebuckets within 150 tokens)."""
+    eng, voice = engine
+    saved = (eng.config.fused_streaming, eng.config.stream_pipeline_depth)
+
+    def run(depth):
+        eng.config.fused_streaming = True
+        eng.config.stream_pipeline_depth = depth
+        chunks = []
+
+        def cb(samples, sr, is_last):
+            if samples is not None:
+                chunks.append(samples.copy())
+            return True
+
+        profile = StreamProfile()
+        ok = eng.synthesize_stream(voice, "pipeline depth parity", cb,
+                                   options=Options(max_tokens=150,
+                                                   temperature=1.0, seed=7),
+                                   profile=profile)
+        assert ok or not chunks
+        return (np.concatenate(chunks) if chunks else
+                np.zeros(0, np.float32)), profile
+
+    try:
+        a, pa = run(1)
+        b, pb = run(2)
+        c, pc = run(4)
+    finally:
+        eng.config.fused_streaming, eng.config.stream_pipeline_depth = saved
+    assert pa.decode_calls == pb.decode_calls == pc.decode_calls
+    assert pa.emitted_samples == pb.emitted_samples == pc.emitted_samples
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    np.testing.assert_allclose(a, c, atol=1e-5)
+
+
+def test_dispatch_pipeline_abort(engine):
+    """Callback abort with steps still in flight: the stream stops after the
+    aborting emit, in-flight step outputs are discarded unprocessed, and no
+    further callbacks fire (reference semantics, test-to-speech.cpp:405-409)."""
+    eng, voice = engine
+    saved = (eng.config.fused_streaming, eng.config.stream_pipeline_depth)
+    calls = []
+
+    def cb(samples, sr, is_last):
+        calls.append(samples.shape[0] if samples is not None else 0)
+        return False
+
+    try:
+        eng.config.fused_streaming = True
+        eng.config.stream_pipeline_depth = 3
+        ok = eng.synthesize_stream(voice, "pipeline abort", cb,
+                                   options=Options(max_tokens=200,
+                                                   temperature=1.0, seed=7))
+    finally:
+        eng.config.fused_streaming, eng.config.stream_pipeline_depth = saved
+    assert not ok
+    assert len(calls) == 1
+
+
 def test_pipelined_codec_streaming(engine, rng):
     """pipeline_codec (+ codec on a second device): sample-exact parity with
     the synchronous unfused path — same decodes in the same order, only the
