@@ -57,14 +57,14 @@ def main() -> int:
         buf, cnt, done, last, cache, _ = llm_generate_chunk(
             params, last, cache, jax.random.PRNGKey(0), jnp.float32(1.0),
             stop_ids, cfg, n)
-        buf.block_until_ready()
+        jax.device_get(buf)   # relay: block_until_ready alone returns early
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
             buf, cnt, done, last, cache, _ = llm_generate_chunk(
                 params, last, cache, jax.random.PRNGKey(1), jnp.float32(1.0),
                 stop_ids, cfg, n)
-            buf.block_until_ready()
+            jax.device_get(buf)
             best = min(best, time.perf_counter() - t0)
         results[n] = best
         print(f"chunk {n:4d}: {best*1e3:8.2f} ms  "
