@@ -258,10 +258,12 @@ def load_llm_params(reader, cfg: LLMConfig | None = None,
                 blk["w_gateup"] = concat_qtensors([blk.pop("w_gate"),
                                                    blk.pop("w_up")])
         blocks.append(blk)
-    # Stack layer weights for lax.scan (QTensor is a pytree, stacks fine).
-    params["blocks"] = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs) if isinstance(xs[0], jax.Array) else xs[0],
-        *blocks)
+    # Per-layer dicts, NOT lax.scan-stacked: feeding a Pallas kernel a
+    # dynamic-slice of stacked weights forces XLA to materialize a copy of
+    # every layer's weights every step (~2.5 ms/token at 2.6B,
+    # benchmarks/bench_step.py `unrolled`); the unrolled layer loop reads
+    # each layer's resident HBM buffer in place.
+    params["blocks"] = blocks
     return params, cfg
 
 
@@ -352,20 +354,30 @@ def _kv_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale.astype(jnp.float32)
 
 
-def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None):
+def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
+            k_cur=None, v_cur=None):
     """Causal attention against the cache.
     q: [B, S_q, H, D]; k/v_cache: [B, H_kv, S_max, D]; fill: [B] number of
-    valid cache entries (AFTER writing the current tokens); q_pos: [B, S_q]
-    absolute positions of the queries.  k_scale/v_scale [B, H_kv, S_max]
-    dequantize an int8 cache.
+    valid cache entries; q_pos: [B, S_q] absolute positions of the queries.
+    k_scale/v_scale [B, H_kv, S_max] dequantize an int8 cache.
+
+    Deferred-write decode (S_q == 1): `k_cur`/`v_cur` [B, 1, H_kv, D] carry
+    the CURRENT token's key/value, which is NOT yet in the cache — the
+    cache is read-only here and written once per step after the layer scan
+    (see llm_forward).  Interleaving the write with this read inside the
+    layer scan forced XLA to materialize full cache-slice copies every
+    layer (~2 ms/token at 2.6B, benchmarks/bench_step.py); with the read
+    kept pure, `fill` counts only PAST tokens and the current token rides
+    as one extra softmax column.  Without k_cur the cache must already
+    contain the current tokens and `fill` covers them (prefill path).
 
     The group scales of an int8 cache factor out of both dots, so the
     cache is never dequantized at [S, D] shape: they multiply the score /
-    probability matrices instead.  Measured at 2.6B serving shapes this
-    runs at HBM speed-of-light and int8 KV is ~1.4x faster than bf16
-    (benchmarks/bench_attn.py); the opt-in Pallas kernel
-    (ops/decode_attn.py, MIOTTS_ATTN_KERNEL=1) measured slower and is kept
-    as the documented comparison point.
+    probability matrices instead (the current token stays unquantized —
+    exact, and what the cache write stores is quantized separately).
+    The opt-in Pallas kernel (ops/decode_attn.py, MIOTTS_ATTN_KERNEL=1)
+    measured slower than this XLA path and is kept as the documented
+    comparison point; it only serves the k_cur-less layout.
     """
     from ..ops.decode_attn import decode_attention, decode_attention_supported
 
@@ -373,15 +385,16 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None):
     H_kv, S_max = k_cache.shape[1], k_cache.shape[2]
     rep = H // H_kv
 
-    if S_q == 1 and decode_attention_supported(q.shape, S_max):
+    if S_q == 1 and k_cur is None and \
+            decode_attention_supported(q.shape, S_max):
         out = decode_attention(q[:, 0], k_cache, v_cache, fill, q_pos[:, 0],
                                k_scale, v_scale)
         return out.reshape(B, S_q, H * D).astype(
             jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16)
 
-    # XLA path (prefill / CPU).  The group scales factor out of both dots,
-    # so an int8 cache is never dequantized at [S, D] shape: they multiply
-    # the score matrix instead.
+    # XLA path.  The group scales factor out of both dots, so an int8
+    # cache is never dequantized at [S, D] shape: they multiply the score
+    # matrix instead.
     cdt = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
     qf = q.astype(cdt)
     kf = k_cache.astype(cdt)
@@ -396,18 +409,39 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None):
     valid = (key_pos[None, None, :] <= q_pos[:, :, None]) & \
             (key_pos[None, None, :] < fill[:, None, None])
     scores = jnp.where(valid[:, None, None, :, :], scores, -1e9)
-    probs = jax.nn.softmax(scores, axis=-1)  # [B, g, r, q, k]
+    if k_cur is not None:
+        # current token: one extra column, always valid (self-attention)
+        s_cur = jnp.einsum("bqgrd,bqgd->bgrq", qg, k_cur.astype(cdt),
+                           preferred_element_type=jnp.float32) / np.sqrt(D)
+        scores = jnp.concatenate([scores, s_cur[..., None]], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)  # [B, g, r, q, k(+1)]
+    if k_cur is not None:
+        p_cur = probs[..., -1]               # [B, g, r, q]
+        probs = probs[..., :-1]
     if v_scale is not None:
         probs = probs * v_scale[:, :, None, None, :]
     out = jnp.einsum("bgrqk,bgkd->bqgrd", probs.astype(cdt), vf,
                      preferred_element_type=jnp.float32)
+    if k_cur is not None:
+        out = out + jnp.einsum("bgrq,bqgd->bqgrd", p_cur.astype(cdt),
+                               v_cur.astype(cdt),
+                               preferred_element_type=jnp.float32)
     return out.reshape(B, S_q, H * D).astype(cdt)
 
 
-def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
+def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig,
+                   defer_write: bool = False):
     """One transformer block.  x: [B, S, dim]; lcache: this layer's cache
     slices {k, v[, k_scale, v_scale]} with k/v [B, H_kv, S_max, D]; pos:
-    [B, S] absolute positions.  Returns (x, new_lcache)."""
+    [B, S] absolute positions.  Returns (x, new_lcache).
+
+    With `defer_write` (decode, S == 1) the cache is READ-ONLY: attention
+    takes the current token's k/v as an extra softmax column and the block
+    returns {k, v[, k_scale, v_scale]} values for THIS token only
+    ([B, H_kv, D] / [B, H_kv]), which llm_forward writes into the stacked
+    cache in ONE post-scan update.  Interleaving per-layer cache writes
+    with the attention read inside the layer scan cost ~2 ms/token at 2.6B
+    in forced copies (benchmarks/bench_step.py)."""
     B, S, _ = x.shape
     H, H_kv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     quantized = "k_scale" in lcache
@@ -437,6 +471,34 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig):
         k = _rms_norm(k, blk["k_norm"], cfg.rms_eps)
     q = _rope(q, pos, cfg.rope_theta, cfg.rope_style)
     k = _rope(k, pos, cfg.rope_theta, cfg.rope_style)
+
+    if defer_write:
+        # decode path: cache stays read-only; this token's k/v ride into
+        # attention directly and out to the caller for the post-scan write
+        if quantized:
+            kq, ks = _kv_quantize(k.astype(jnp.float32))
+            vq, vs = _kv_quantize(v.astype(jnp.float32))
+            kv_out = {"k": kq[:, 0], "v": vq[:, 0],
+                      "k_scale": ks[:, 0], "v_scale": vs[:, 0]}
+        else:
+            kv_out = {"k": k[:, 0].astype(lcache["k"].dtype),
+                      "v": v[:, 0].astype(lcache["v"].dtype)}
+        attn = _attend(q, lcache["k"], lcache["v"], fill, pos,
+                       lcache.get("k_scale"), lcache.get("v_scale"),
+                       k_cur=k, v_cur=v)
+        x = x + qdot(attn.astype(x.dtype), blk["wo"])
+
+        h = _rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
+        if "w_gateup" in blk:
+            gu = qdot(h, blk["w_gateup"])
+            ff = gu.shape[-1] // 2
+            gate = jax.nn.silu(gu[..., :ff])
+            up = gu[..., ff:]
+        else:
+            gate = jax.nn.silu(qdot(h, blk["w_gate"]))
+            up = qdot(h, blk["w_up"])
+        x = x + qdot((gate * up).astype(x.dtype), blk["w_down"])
+        return x, kv_out
 
     # Write k/v into the cache at their absolute positions.  The cache is
     # head-major [B, H_kv, S_max, ...] while fresh k/v are query-major
@@ -575,16 +637,59 @@ def llm_forward(params: dict, tokens: jax.Array, pos: jax.Array,
                 conv_i += 1
         new_layer_cache = {k: v for k, v in new_cache.items() if k != "fill"}
     else:
+        # Dense path: UNROLLED python loop over per-layer weight dicts —
+        # each layer's quantized weights are read by the Pallas matmuls
+        # from their own resident HBM buffers.  (A lax.scan over stacked
+        # weights dynamic-slices them per layer, which materializes a copy
+        # of the whole layer before every kernel: ~2.5 ms/token at 2.6B,
+        # benchmarks/bench_step.py.)
+        B, S, _ = x.shape
         layer_cache = {k: v for k, v in cache.items() if k != "fill"}
-
-        def layer(carry, inputs):
-            x = carry
-            blk, lcache = inputs
-            x, lcache = _block_forward(x, blk, lcache, cache["fill"], pos, cfg)
-            return x, lcache
-
-        x, new_layer_cache = jax.lax.scan(
-            layer, x, (params["blocks"], layer_cache))
+        if S == 1:
+            # Decode: the cache is READ-ONLY through all layers (attention
+            # takes this token's k/v as an extra softmax column) and ONE
+            # single-position update per cache field writes every layer's
+            # new k/v at once — interleaving per-layer writes with the
+            # attention read forces full cache-slice copies.
+            kv_list = []
+            for li, blk in enumerate(params["blocks"]):
+                lcache = {key: buf[li] for key, buf in layer_cache.items()}
+                x, kv = _block_forward(x, blk, lcache, cache["fill"],
+                                       pos, cfg, defer_write=True)
+                kv_list.append(kv)
+            kvs = {key: jnp.stack([kv[key] for kv in kv_list])
+                   for key in kv_list[0]}           # [L, B, H, D] / [L, B, H]
+            new_layer_cache = {}
+            if B == 1:
+                p = pos[0, 0]
+                for key, buf in layer_cache.items():
+                    upd = kvs[key].astype(buf.dtype)
+                    if key in ("k", "v"):       # [L, 1, H, D] -> at S=p
+                        upd = upd[:, :, :, None, :]
+                        start = (0, 0, 0, p, 0)
+                    else:                        # scales [L, 1, H] -> at S=p
+                        upd = upd[:, :, :, None]
+                        start = (0, 0, 0, p)
+                    new_layer_cache[key] = jax.lax.dynamic_update_slice(
+                        buf, upd, start)
+            else:
+                # batched decode: per-row positions (parked rows write at
+                # their parked pos, same semantics as the scatter write)
+                b_idx = jnp.arange(B)
+                p = pos[:, 0]
+                for key, buf in layer_cache.items():
+                    upd = jnp.swapaxes(kvs[key], 0, 1).astype(buf.dtype)
+                    new_layer_cache[key] = buf.at[:, b_idx, :, p].set(upd)
+        else:
+            # Prefill: per-layer write-into-slice (runs once per request)
+            new_layer_cache = dict(layer_cache)
+            for li, blk in enumerate(params["blocks"]):
+                lcache = {key: buf[li] for key, buf in layer_cache.items()}
+                x, lcache = _block_forward(x, blk, lcache, cache["fill"],
+                                           pos, cfg)
+                for key, val in lcache.items():
+                    new_layer_cache[key] = \
+                        new_layer_cache[key].at[li].set(val)
     new_fill = jnp.maximum(cache["fill"], pos[:, -1] + 1)
 
     x = _rms_norm(x, params["output_norm"], cfg.rms_eps)

@@ -27,29 +27,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.llm import LLMConfig
 from ..ops.qmat import QTensor
 
-# PartitionSpecs for each stacked block tensor ([layer, out, in] after
-# stacking; dim 0 = layer stays unsharded).
+# PartitionSpecs for each per-layer block tensor ([out, in]; blocks are a
+# LIST of per-layer dicts — see load_llm_params).
 _BLOCK_SPECS = {
-    "attn_norm": P(None, None),
+    "attn_norm": P(None),
     # Fused QKV / gate+up: the concatenated output dim mixes head groups, so
     # shard the CONTRACTION dim instead (row-parallel; GSPMD inserts the
     # psum on the partial products).
-    "wqkv": P(None, None, "model"),
-    "bqkv": P(None, None),
-    "w_gateup": P(None, None, "model"),
-    "wq": P(None, "model", None),
-    "wk": P(None, "model", None),
-    "wv": P(None, "model", None),
-    "wo": P(None, None, "model"),
-    "bq": P(None, "model"),
-    "bk": P(None, "model"),
-    "bv": P(None, "model"),
-    "q_norm": P(None, None),
-    "k_norm": P(None, None),
-    "ffn_norm": P(None, None),
-    "w_gate": P(None, "model", None),
-    "w_up": P(None, "model", None),
-    "w_down": P(None, None, "model"),
+    "wqkv": P(None, "model"),
+    "bqkv": P(None),
+    "w_gateup": P(None, "model"),
+    "wq": P("model", None),
+    "wk": P("model", None),
+    "wv": P("model", None),
+    "wo": P(None, "model"),
+    "bq": P("model"),
+    "bk": P("model"),
+    "bv": P("model"),
+    "q_norm": P(None),
+    "k_norm": P(None),
+    "ffn_norm": P(None),
+    "w_gate": P("model", None),
+    "w_up": P("model", None),
+    "w_down": P(None, "model"),
 }
 
 _TOP_SPECS = {
@@ -119,8 +119,8 @@ def shard_llm_params(params: dict, mesh: Mesh, cfg: LLMConfig) -> dict:
     out = {}
     for k, v in params.items():
         if k == "blocks":
-            out[k] = {bk: _apply_spec(bv, _BLOCK_SPECS[bk], mesh)
-                      for bk, bv in v.items()}
+            out[k] = [{bk: _apply_spec(bv, _BLOCK_SPECS[bk], mesh)
+                       for bk, bv in blk.items()} for blk in v]
         elif k == "layers":  # hybrid (LFM2) per-layer dicts
             out[k] = [{lk: _apply_spec(lv, _HYBRID_SPECS.get(lk, P()), mesh)
                        for lk, lv in layer.items()} for layer in v]
