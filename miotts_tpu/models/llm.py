@@ -763,6 +763,34 @@ def llm_prefill_slot(params: dict, tokens: jax.Array, n_real: jax.Array,
     return last, new_cache
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def llm_prefill_slots(params: dict, tokens: jax.Array, n_real: jax.Array,
+                      cache: dict, slots: jax.Array, cfg: LLMConfig):
+    """Prefill SEVERAL sequences into slots of a batched cache with ONE
+    dispatch.  A burst of admissions (continuous-batching refill after a
+    wave of completions) otherwise costs one program dispatch per slot —
+    ~30 ms each on a relay-tunneled chip, the dominant admission cost.
+
+    tokens: [A, S_bucket]; n_real: [A]; slots: [A] i32 (distinct).
+    Returns (last_logits [A, V], cache)."""
+    A, S = tokens.shape
+    # fresh sub-cache: prefill rewrites positions [0, S) and fill masks the
+    # rest, so the admitted slots' old contents never matter
+    sub = {k: jnp.zeros((v.shape[0], A) + v.shape[2:], v.dtype)
+           for k, v in cache.items() if k != "fill"}
+    sub["fill"] = jnp.zeros((A,), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(S), (A, S))
+    logits, sub = llm_forward(params, tokens, pos, sub, cfg,
+                              advance=n_real.astype(jnp.int32))
+
+    new_cache = {k: cache[k].at[:, slots].set(sub[k])
+                 for k in cache if k != "fill"}
+    new_cache["fill"] = cache["fill"].at[slots].set(n_real.astype(jnp.int32))
+    last = jnp.take_along_axis(logits, (n_real - 1)[:, None, None],
+                               axis=1)[:, 0]
+    return last, new_cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache",))
 def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
                                cache: dict, active: jax.Array,

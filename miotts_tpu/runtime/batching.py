@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llm import (
-    init_kv_cache, llm_generate_chunk_batched, llm_prefill_slot,
+    init_kv_cache, llm_generate_chunk_batched, llm_prefill_slots,
 )
 from ..text import build_prompt, normalize_tts_text
 from .engine import Options, TTSEngine, VoiceModel, _bucket_len, _round_up
@@ -67,11 +67,19 @@ class ContinuousBatcher:
     def __init__(self, engine: TTSEngine, n_slots: int = 8,
                  chunk_steps: int = 20, quantized_kv: bool = False,
                  ctx_len: int | None = None, mesh=None,
-                 fused: bool = False):
+                 fused: bool = False, pipeline_depth: int = 2):
         """`mesh`: optional jax Mesh for sharded serving — the KV cache
         batch dim goes over 'data' and heads over 'model'
         (parallel/sharding.py); pair with engine.llm_params already sharded
-        via shard_llm_params.  The scheduler itself is sharding-agnostic."""
+        via shard_llm_params.  The scheduler itself is sharding-agnostic.
+
+        `pipeline_depth`: chunk dispatch pipelining — chunk k+1 is
+        dispatched from device-resident state BEFORE chunk k's results are
+        read, hiding the per-chunk dispatch + host-glue latency (~30 ms on
+        a relay-tunneled chip).  Host-side bookkeeping (budget stops,
+        admissions) lags one chunk; per-slot request snapshots drop a
+        stale in-flight chunk's tokens when a slot is finished/re-admitted
+        before its results arrive.  Depth 1 = the unpipelined loop."""
         assert engine.llm_params is not None, "batching needs the LLM"
         self.engine = engine
         self.cfg = engine.llm_cfg
@@ -114,11 +122,17 @@ class ContinuousBatcher:
         # pipelined-codec deferred emissions: [(audio_dev, items)] where
         # items = [(req, row, begin, end, n_decoded)]
         self._pending: list = []
+        # chunk dispatch pipeline: device-resident active mask + in-flight
+        # chunk outputs [(buf, active_out, per-slot request snapshot)]
+        self._depth = max(1, pipeline_depth)
+        self._active_dev = jnp.asarray(self.active)
+        self._inflight: deque = deque()
 
     # ------------------------------------------------------------------
     @property
     def pending(self) -> int:
-        return len(self.waiting) + int(np.sum(self.active))
+        return (len(self.waiting) + int(np.sum(self.active))
+                + len(getattr(self, "_inflight", ())))
 
     def submit(self, text: str, voice: VoiceModel,
                callback, options: Options = Options(),
@@ -132,8 +146,15 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
     def _admit(self) -> None:
-        """Fill free slots with waiting requests (prefill)."""
+        """Fill free slots with waiting requests.
+
+        All admissions of one scheduler step prefill in ONE batched dispatch
+        (`llm_prefill_slots`) — a burst refill after a wave of completions
+        otherwise pays one ~30 ms program dispatch per slot on a
+        relay-tunneled chip.  Prompts are right-padded to the longest
+        admitted prompt's bucket; per-slot `fill` masks the padding."""
         eng = self.engine
+        admit: list[tuple[int, Request, list[int]]] = []
         for slot in range(self.n_slots):
             if self.active[slot] or not self.waiting:
                 continue
@@ -146,17 +167,29 @@ class ContinuousBatcher:
             if n + max_tok + self.chunk_steps > self.ctx_len:
                 max_tok = max(0, self.ctx_len - n - self.chunk_steps)
             req._max_tokens = max_tok
-            bucket = _round_up(n, eng.config.prompt_bucket)
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, :n] = ids
-            last, self.cache = llm_prefill_slot(
-                eng.llm_params, jnp.asarray(toks), jnp.asarray(n, jnp.int32),
-                self.cache, jnp.asarray(slot, jnp.int32), self.cfg)
-            self.last_logits = self.last_logits.at[slot].set(last[0])
+            admit.append((slot, req, ids))
+        if not admit:
+            return
+        bucket = _round_up(max(len(ids) for _, _, ids in admit),
+                           eng.config.prompt_bucket)
+        A = len(admit)
+        toks = np.zeros((A, bucket), np.int32)
+        n_real = np.zeros((A,), np.int32)
+        slots = np.zeros((A,), np.int32)
+        for i, (slot, req, ids) in enumerate(admit):
+            toks[i, :len(ids)] = ids
+            n_real[i] = len(ids)
+            slots[i] = slot
+        last, self.cache = llm_prefill_slots(
+            eng.llm_params, jnp.asarray(toks), jnp.asarray(n_real),
+            self.cache, jnp.asarray(slots), self.cfg)
+        self.last_logits = self.last_logits.at[jnp.asarray(slots)].set(last)
+        self._active_dev = self._active_dev.at[jnp.asarray(slots)].set(True)
+        for slot, req, _ in admit:
             self.active[slot] = True
             self.slot_req[slot] = req
             req.slot = slot
-            self._dirty_codes = True
+        self._dirty_codes = True
 
     def _finish(self, req: Request, ok: bool) -> None:
         req.done = True
@@ -165,6 +198,10 @@ class ContinuousBatcher:
         slot = req.slot
         self.active[slot] = False
         self.slot_req[slot] = None
+        # clear the device-resident bit too (budget stops are host-detected;
+        # an already-dispatched in-flight chunk may still step this slot
+        # once — its tokens are dropped by the request snapshot check)
+        self._active_dev = self._active_dev.at[slot].set(False)
         if req.on_finish is not None:
             try:
                 req.on_finish(req)
@@ -264,28 +301,39 @@ class ContinuousBatcher:
 
     def _step_unfused(self) -> None:
         self._admit()
-        if not np.any(self.active):
-            self._flush_pending()
-            return
-
-        self._key, key = jax.random.split(self._key)
-        buf, active_dev, self.last_logits, self.cache, _ = \
-            llm_generate_chunk_batched(
-                self.engine.llm_params, self.last_logits, self.cache,
-                jnp.asarray(self.active), key, self._temp, self._stop_ids,
-                self.cfg, self.chunk_steps)
+        dispatched = False
+        if np.any(self.active):
+            self._key, key = jax.random.split(self._key)
+            buf, self._active_dev, self.last_logits, self.cache, _ = \
+                llm_generate_chunk_batched(
+                    self.engine.llm_params, self.last_logits, self.cache,
+                    self._active_dev, key, self._temp, self._stop_ids,
+                    self.cfg, self.chunk_steps)
+            self._inflight.append((buf, self._active_dev,
+                                   list(self.slot_req)))
+            dispatched = True
         # the chunk above is dispatched asynchronously: emit last step's
         # deferred codec audio (if any) while it runs
         self._flush_pending()
-        buf = np.asarray(buf)
-        still_active = np.asarray(active_dev)
+        # process queued chunk results; with dispatch pipelining the
+        # newest chunk stays in flight while its predecessor is consumed
+        keep = self._depth - 1 if dispatched else 0
+        while len(self._inflight) > keep:
+            self._process_chunk(*self._inflight.popleft())
+
+    def _process_chunk(self, buf, active_dev, snapshot) -> None:
+        """Consume one chunk's results: distribute tokens, run the commit
+        policy, emit / finish.  `snapshot` is the per-slot request list at
+        dispatch time — a slot finished or re-admitted since then drops its
+        stale tokens here."""
+        buf, still_active = jax.device_get((buf, active_dev))
 
         table = self._table
         decode_work: list[tuple[Request, int, bool]] = []
         for slot in range(self.n_slots):
-            if not self.active[slot]:
+            req = snapshot[slot]
+            if req is None or req.done or self.slot_req[slot] is not req:
                 continue
-            req = self.slot_req[slot]
             toks = buf[slot]
             toks = toks[toks >= 0]
             for tid in toks:

@@ -261,3 +261,81 @@ def test_pipelined_batcher_matches_sync(engine):
     for a, b in zip(sync, pipe):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_pipeline_depth_parity(engine):
+    """Chunk dispatch pipelining must be invisible when slots are not
+    reused: identical audio and emission schedules at every depth.  (With
+    slot reuse the admission lag legitimately shifts the dispatch-key
+    stream, so outputs differ — covered by the liveness test below.)"""
+    eng, voice = engine
+
+    def run(depth, texts, n_slots, max_tokens):
+        batcher = ContinuousBatcher(eng, n_slots=n_slots, chunk_steps=10,
+                                    pipeline_depth=depth)
+        results = {}
+
+        def make_cb(rid):
+            chunks = []
+            results[rid] = chunks
+
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    chunks.append(samples.copy())
+                return True
+            return cb
+
+        for i, text in enumerate(texts):
+            batcher.submit(text, voice, make_cb(i),
+                           Options(max_tokens=max_tokens, temperature=1.0))
+        batcher.run_until_done(max_iters=300)
+        assert batcher.pending == 0
+        return {rid: (len(chunks),
+                      np.concatenate(chunks) if chunks else
+                      np.zeros(0, np.float32))
+                for rid, chunks in results.items()}
+
+    texts = ["pipe one", "pipe two", "pipe three"]
+    a = run(1, texts, 3, 35)
+    b = run(2, texts, 3, 35)
+    c = run(3, texts, 3, 35)
+    assert a.keys() == b.keys() == c.keys()
+    for rid in a:
+        assert a[rid][0] == b[rid][0] == c[rid][0]      # emission schedule
+        np.testing.assert_allclose(a[rid][1], b[rid][1], atol=1e-5)
+        np.testing.assert_allclose(a[rid][1], c[rid][1], atol=1e-5)
+
+
+def test_pipeline_depth_slot_reuse_liveness(engine):
+    """Pipelined batcher with more requests than slots: every request
+    completes with audio; stale in-flight chunks for re-admitted slots are
+    dropped (no cross-request token leakage -> no oversized outputs)."""
+    eng, voice = engine
+    batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10,
+                                pipeline_depth=2)
+    done = {}
+    totals = {}
+
+    def make_cb(rid):
+        totals[rid] = 0
+
+        def cb(samples, sr, is_last):
+            if samples is not None:
+                totals[rid] += len(samples)
+            return True
+        return cb
+
+    for i in range(5):
+        batcher.submit(f"reuse {i}", voice, make_cb(i),
+                       Options(max_tokens=30, temperature=1.0),
+                       on_finish=lambda req, rid=i: done.setdefault(rid, req))
+    batcher.run_until_done(max_iters=300)
+    assert batcher.pending == 0
+    assert len(done) == 5                      # every request completes
+    spt = eng.codec_cfg.samples_per_token
+    for rid, req in done.items():
+        # at most max_tokens codes' worth of audio (leaked tokens from a
+        # stale chunk would overshoot this bound); a request may produce
+        # no codes at all (reference failure semantics) but must finish
+        assert totals[rid] <= 30 * spt
+        assert req.n_tokens <= 30 + batcher.chunk_steps
