@@ -190,10 +190,10 @@ def _qdot_xla(x: jax.Array, qt: QTensor) -> jax.Array:
 
 def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
                  packed):
-    """Grid (n_tiles, k_tiles).  Blocks: x [M, K_t], v int8 [K_t, N_t] (or
-    uint8 [K_t/2, N_t] nibble-packed), s [K_t//g, N_t], out [M, N_t],
-    acc f32 scratch [M, N_t]."""
-    k_idx = pl.program_id(1)
+    """Grid (m_tiles, n_tiles, k_tiles).  Blocks: x [M_t, K_t], v int8
+    [K_t, N_t] (or uint8 [K_t/2, N_t] nibble-packed), s [K_t//g, N_t],
+    out [M_t, N_t], acc f32 scratch [M_t, N_t]."""
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
@@ -245,19 +245,26 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
            and TILE_K % 2 == 0 and (TILE_K // 2) % k_align == 0):
         TILE_K //= 2
     n_k_tiles = K // TILE_K
+    # Tile M too: decode is M=1 but batched prefill can be M in the
+    # thousands (A slots x prompt bucket), and an untiled [M, K_t] f32 x
+    # block + [M, N_t] accumulator blow the ~16 MB VMEM scoped limit.
+    TILE_M = M
+    while TILE_M > 256 and TILE_M % 2 == 0:
+        TILE_M //= 2
 
     xf = x.astype(jnp.float32)
     out = pl.pallas_call(
         partial(_qdot_kernel, group=g, n_k_tiles=n_k_tiles, packed=qt.packed),
-        grid=(N // TILE_N, n_k_tiles),
+        grid=(M // TILE_M, N // TILE_N, n_k_tiles),
         in_specs=[
-            pl.BlockSpec((M, TILE_K), lambda i, j: (0, j)),
-            pl.BlockSpec((TILE_K // pack_div, TILE_N), lambda i, j: (j, i)),
-            pl.BlockSpec((TILE_K // g, TILE_N), lambda i, j: (j, i)),
+            pl.BlockSpec((TILE_M, TILE_K), lambda m, i, j: (m, j)),
+            pl.BlockSpec((TILE_K // pack_div, TILE_N),
+                         lambda m, i, j: (j, i)),
+            pl.BlockSpec((TILE_K // g, TILE_N), lambda m, i, j: (j, i)),
         ],
-        out_specs=pl.BlockSpec((M, TILE_N), lambda i, j: (0, i)),
+        out_specs=pl.BlockSpec((TILE_M, TILE_N), lambda m, i, j: (m, i)),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((M, TILE_N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TILE_M, TILE_N), jnp.float32)],
         interpret=interpret,
     )(xf, qt.values, qt.scales)
 

@@ -132,3 +132,14 @@ def test_bf16_scales_accuracy(rng):
     y = np.asarray(qdot(x, qt))
     want = np.asarray(x) @ ref.T
     assert np.abs(y - want).max() / (np.abs(want).max() + 1e-9) < 0.02
+
+
+def test_qdot_pallas_large_m_tiled(rng):
+    """Batched-prefill shapes (M in the thousands) must tile M — an
+    untiled [M, K_t] x block + [M, N_t] accumulator blow the ~16 MB VMEM
+    scoped limit on TPU (seen at M=1024, 2.6B wo shapes)."""
+    qt, ref = _make_qt(GGML_Q4_K, 128, 512, rng)
+    x = jnp.asarray(rng.standard_normal((1024, 512)), jnp.float32)
+    got = np.asarray(_qdot_pallas(x, qt, interpret=True))
+    want = np.asarray(x) @ ref.T
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
