@@ -32,7 +32,13 @@ _MODELS = {
     "0.1b-q8_0": dict(dim=768, layers=12, heads=12, kv=4, ff=2048, q="q8_0"),
     "0.4b-q4_k": dict(dim=1024, layers=24, heads=16, kv=8, ff=3072, q="q4_k"),
     "0.4b-q8_0": dict(dim=1024, layers=24, heads=16, kv=8, ff=3072, q="q8_0"),
+    "0.6b-q8_0": dict(dim=1024, layers=28, heads=16, kv=8, ff=3072, q="q8_0",
+                      hd=128),
     "1.2b-q6_k": dict(dim=2048, layers=24, heads=32, kv=8, ff=5632, q="q6_k"),
+    "1.7b-q8_0": dict(dim=2048, layers=28, heads=16, kv=8, ff=6144, q="q8_0",
+                      hd=128),
+    "1.7b-q6_k": dict(dim=2048, layers=28, heads=16, kv=8, ff=6144, q="q6_k",
+                      hd=128),
     "2.6b-q4_k": dict(dim=2560, layers=32, heads=32, kv=8, ff=8192, q="q4_k"),
 }
 MODEL = os.environ.get("MIOTTS_BENCH_MODEL", "0.1b-q8_0").lower()
@@ -59,7 +65,7 @@ def ensure_models():
         n_speech = 12800
         cfg = LLMConfig(arch="qwen2", n_layers=spec["layers"], dim=spec["dim"],
                         n_heads=spec["heads"], n_kv_heads=spec["kv"],
-                        head_dim=spec["dim"] // spec["heads"],
+                        head_dim=spec.get("hd", spec["dim"] // spec["heads"]),
                         ff_dim=spec["ff"],
                         n_vocab=256 + 3 + n_speech, n_ctx=2048,
                         rope_theta=1e6, rope_style="neox", qkv_bias=True,

@@ -45,10 +45,12 @@ def main() -> int:
         stats = {}
 
         def make_cb(i):
-            stats[i] = {"samples": 0, "done_at": None}
+            stats[i] = {"samples": 0, "done_at": None, "first_at": None}
 
             def cb(samples, sr, is_last):
                 if samples is not None:
+                    if stats[i]["first_at"] is None:
+                        stats[i]["first_at"] = time.perf_counter()
                     stats[i]["samples"] += len(samples)
                 if is_last:
                     stats[i]["done_at"] = time.perf_counter()
@@ -66,9 +68,19 @@ def main() -> int:
         total_audio = sum(s["samples"] for s in stats.values()) / engine.sample_rate
         agg = total_audio / wall if wall > 0 else 0.0
         per_stream = agg / n_streams
+        ttfas = sorted(s["first_at"] - t0 for s in stats.values()
+                       if s["first_at"] is not None)
+        ttfa_p50 = ttfas[len(ttfas) // 2] if ttfas else -1.0
         print(f"bench_batch[{tag}]: streams={n_streams} wall={wall:.2f}s "
               f"audio={total_audio:.2f}s aggregate={agg:.2f}x "
-              f"per_stream={per_stream:.2f}x", file=sys.stderr, flush=True)
+              f"per_stream={per_stream:.2f}x ttfa_p50={ttfa_p50:.2f}s",
+              file=sys.stderr, flush=True)
+        st = batcher.stage
+        acc = sum(v for k, v in st.items() if k.endswith("_sec"))
+        print("bench_batch[%s]: stages " % tag
+              + " ".join(f"{k}={v:.2f}" if k.endswith("_sec") else f"{k}={v}"
+                         for k, v in st.items())
+              + f" other={wall - acc:.2f}", file=sys.stderr, flush=True)
         return wall, total_audio, agg, per_stream
 
     run_once("warm")                    # absorbs first-execution stalls

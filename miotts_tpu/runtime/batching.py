@@ -127,6 +127,12 @@ class ContinuousBatcher:
         self._depth = max(1, pipeline_depth)
         self._active_dev = jnp.asarray(self.active)
         self._inflight: deque = deque()
+        # coarse wall-clock stage accounting (stream_bench.stage.* analogue
+        # for the batched path; filled by the scheduler, read by benches)
+        self.stage = {"admit_sec": 0.0, "llm_wait_sec": 0.0,
+                      "codec_sync_sec": 0.0, "codec_dispatch_sec": 0.0,
+                      "flush_wait_sec": 0.0, "chunks": 0, "decodes": 0,
+                      "prefills": 0}
 
     # ------------------------------------------------------------------
     @property
@@ -170,6 +176,7 @@ class ContinuousBatcher:
             admit.append((slot, req, ids))
         if not admit:
             return
+        t0 = time.perf_counter()
         bucket = _round_up(max(len(ids) for _, _, ids in admit),
                            eng.config.prompt_bucket)
         A = len(admit)
@@ -190,6 +197,8 @@ class ContinuousBatcher:
             self.slot_req[slot] = req
             req.slot = slot
         self._dirty_codes = True
+        self.stage["admit_sec"] += time.perf_counter() - t0
+        self.stage["prefills"] += 1
 
     def _finish(self, req: Request, ok: bool) -> None:
         req.done = True
@@ -288,6 +297,7 @@ class ContinuousBatcher:
         """Materialize + emit deferred (pipelined) codec decodes.  Called
         after the next LLM chunk has been dispatched, so the wait here
         overlaps LLM compute on the other device."""
+        t0 = time.perf_counter()
         for audio_dev, items in self._pending:
             audio_np = np.asarray(audio_dev)
             spt = self.engine.codec_cfg.samples_per_token
@@ -297,6 +307,8 @@ class ContinuousBatcher:
                 seg = audio_np[row, : n_dec * spt]
                 if not self._emit_samples(req, seg, begin, end, False):
                     self._finish(req, False)
+        if self._pending:
+            self.stage["flush_wait_sec"] += time.perf_counter() - t0
         self._pending = []
 
     def _step_unfused(self) -> None:
@@ -326,7 +338,10 @@ class ContinuousBatcher:
         policy, emit / finish.  `snapshot` is the per-slot request list at
         dispatch time — a slot finished or re-admitted since then drops its
         stale tokens here."""
+        t0 = time.perf_counter()
         buf, still_active = jax.device_get((buf, active_dev))
+        self.stage["llm_wait_sec"] += time.perf_counter() - t0
+        self.stage["chunks"] += 1
 
         table = self._table
         decode_work: list[tuple[Request, int, bool]] = []
@@ -381,9 +396,12 @@ class ContinuousBatcher:
                 sync_work = [w for w in sync_work if w[0][2]]
                 if deferred:
                     spt = self.engine.codec_cfg.samples_per_token
+                    t0 = time.perf_counter()
                     audio_dev, lens = self.engine.decode_codes_batch_async(
                         [r.codes[s:] for r, _, s in deferred],
                         [r.voice for r, _, _ in deferred])
+                    self.stage["codec_dispatch_sec"] += time.perf_counter() - t0
+                    self.stage["decodes"] += 1
                     items = []
                     for row, (req, target, s) in enumerate(deferred):
                         begin = (req.committed - s) * spt
@@ -392,9 +410,12 @@ class ContinuousBatcher:
                         items.append((req, row, begin, end, lens[row]))
                     self._pending.append((audio_dev, items))
             if sync_work:
+                t0 = time.perf_counter()
                 audios = self.engine.decode_codes_batch(
                     [r.codes[s:] for (r, _, _), s in sync_work],
                     [r.voice for (r, _, _), _ in sync_work])
+                self.stage["codec_sync_sec"] += time.perf_counter() - t0
+                self.stage["decodes"] += 1
                 for ((req, target, is_final), s), audio in zip(sync_work,
                                                                audios):
                     ok = self._emit_audio(req, audio, target, is_final,

@@ -126,6 +126,35 @@ def test_greedy_generation_deterministic(tmp_path, rng):
     assert outs[0] == outs[1]
 
 
+def test_decoupled_head_dim(tmp_path, rng):
+    """n_heads * head_dim != dim (qwen3-style 0.6B/1.7B: hidden 1024/2048
+    with 16 heads of 128): projections are sized H*D, attn_output maps
+    H*D -> dim.  Prefill + stepwise decode must match a full forward."""
+    from miotts_tpu.models.llm import _ARCH_TABLE
+    cfg0 = LLMConfig(arch="qwen2", n_layers=2, dim=64, n_heads=4,
+                     n_kv_heads=2, head_dim=32, ff_dim=128,
+                     n_vocab=256 + 3 + 64, n_ctx=256,
+                     **_ARCH_TABLE["qwen2"])
+    params, cfg, r = _build(tmp_path, cfg=cfg0)
+    r.close()
+    assert cfg.head_dim == 32 and cfg.n_heads * cfg.head_dim != cfg.dim
+    B, n1 = 1, 6
+    toks = rng.integers(0, cfg.n_vocab, (B, n1)).astype(np.int32)
+    pos = jnp.broadcast_to(jnp.arange(n1), (B, n1))
+    logits_full, _ = llm_forward(params, jnp.asarray(toks), pos,
+                                 init_kv_cache(cfg, B, 32, dtype=jnp.float32),
+                                 cfg)
+    cache = init_kv_cache(cfg, B, 32, dtype=jnp.float32)
+    last, cache = llm_prefill(params, jnp.asarray(toks[:, :4]),
+                              jnp.full((B,), 4, jnp.int32), cache, cfg)
+    for i in range(4, n1):
+        last, cache = llm_decode_step(params, jnp.asarray(toks[:, i]),
+                                      cache, cfg)
+    np.testing.assert_allclose(np.asarray(last),
+                               np.asarray(logits_full[:, -1]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_sampling_seeded_reproducible(tmp_path, rng):
     logits = jnp.asarray(rng.standard_normal((2, 50)), jnp.float32)
     k = jax.random.PRNGKey(42)
