@@ -32,7 +32,8 @@ def main() -> int:
     from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
 
     engine = TTSEngine(EngineConfig(
-        model_path=llm_path, codec_path=codec_path, max_tokens=max_tokens))
+        model_path=llm_path, codec_path=codec_path, max_tokens=max_tokens,
+        codec_fast=os.environ.get("MIOTTS_BENCH_CODEC_FAST", "") == "1"))
     voice = VoiceModel(emb_path)
     print(f"bench_batch: warming up (slots={n_slots})...", file=sys.stderr, flush=True)
     engine.warmup(max_codes=max_tokens, prompt_len=80)

@@ -29,19 +29,22 @@ from miotts_tpu.gguf import GGUFReader
 from miotts_tpu.models import codec as codec_mod
 from miotts_tpu.models.codec import CodecConfig, load_codec_params
 
-STAGES = ["token_embd", "prenet", "prenet_out", "upsample", "prior",
-          "decoder", "final_adaln", "post", "upsampler_0", "upsampler_1",
-          "upsampler_out", "phase", "istft"]
+# Each truncation point is its own jit (slow remote compiles on the relay):
+# default to the coarse group boundaries; pass stage names as extra argv to
+# bisect finer (any tap name in models/codec.py works).
+STAGES = ["token_embd", "prenet", "prior", "decoder", "post",
+          "upsampler_1", "istft"]
 
 
-def build_truncated(params, cfg, upto):
-    """jit of the forward cut after stage `upto` (tap raises StopIteration
-    via a sentinel return): we re-run _codec_forward but stop early by
-    raising — instead, easier: run full forward and rely on DCE?  XLA DCE
-    removes dead stages only if the output doesn't depend on them, so we
-    return the tapped activation itself."""
+def build_truncated(cfg, upto):
+    """jit of the forward cut after stage `upto`: the full forward is
+    traced, but only the tapped activation is returned, so XLA dead-code-
+    eliminates every later stage.  `params` MUST be a function argument —
+    as a closure constant the weights get embedded in the HLO literal
+    payload (hundreds of MB), which the relay's remote_compile rejects
+    (HTTP 413) and which slows every compile."""
 
-    def fn(codes, emb, n_real):
+    def fn(params, codes, emb, n_real):
         box = {}
 
         def tap(name, x):
@@ -60,12 +63,13 @@ def build_truncated(params, cfg, upto):
                          cfg.hop_length, None)
         return box["out"]
 
-    return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0)))
+    return jax.jit(jax.vmap(fn, in_axes=(None, 0, 0, 0)))
 
 
 def main() -> int:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    stages = sys.argv[3:] or STAGES
     print(f"bench_codec: devices = {jax.devices()}", file=sys.stderr)
     _, codec_path, _ = benchmod.ensure_models()
     r = GGUFReader(codec_path)
@@ -92,9 +96,9 @@ def main() -> int:
     print(f"bench_codec: B={B} T={T} "
           f"fast={bool(os.environ.get('MIOTTS_CODEC_FAST'))}",
           file=sys.stderr)
-    for st in STAGES:
-        fn = build_truncated(params, cfg, st)
-        sec = timeit(fn, codes, embs, n_real)
+    for st in stages:
+        fn = build_truncated(cfg, st)
+        sec = timeit(fn, params, codes, embs, n_real)
         print(f"  upto {st:<14} {sec * 1e3:8.2f} ms  "
               f"(+{(sec - prev) * 1e3:7.2f} ms)", file=sys.stderr, flush=True)
         prev = sec

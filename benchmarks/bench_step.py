@@ -35,7 +35,7 @@ from miotts_tpu.models import llm as llm_mod
 from miotts_tpu.models.llm import (LLMConfig, init_kv_cache, llm_prefill,
                                    load_llm_params)
 
-VARIANTS = ["full", "no_attn", "no_qdot", "no_norms"]
+VARIANTS = ["full", "no_attn", "no_qdot", "no_norms", "no_kvwrite"]
 
 
 def patched(name):
@@ -64,6 +64,10 @@ def patched(name):
         elif name == "no_norms":
             patch("_rms_norm", lambda x, w, eps: x)
             patch("_rope", lambda x, pos, theta, style: x)
+        elif name == "no_kvwrite":
+            # skip the batched-decode cache scatter (B>1 path only):
+            # isolates the per-step [L,B,H,S] scatter-write cost
+            patch("_scatter_kv", lambda buf, p, upd: buf)
         try:
             yield
         finally:
@@ -88,13 +92,13 @@ def main() -> int:
     cfg = LLMConfig.from_gguf(reader)
     params, _ = load_llm_params(reader, cfg, dtype=jnp.bfloat16)
     ctx = int(os.environ.get("MIOTTS_BENCH_CTX", "1024"))
-    cache0 = init_kv_cache(cfg, 1, ctx, dtype=jnp.bfloat16,
+    B = int(os.environ.get("MIOTTS_BENCH_BATCH", "1"))
+    cache0 = init_kv_cache(cfg, B, ctx, dtype=jnp.bfloat16,
                            quantized=bool(os.environ.get("MIOTTS_BENCH_QKV")))
-    toks = jnp.zeros((1, 64), jnp.int32)
-    last, cache0 = llm_prefill(params, toks, jnp.asarray([8], jnp.int32),
+    toks = jnp.zeros((B, 64), jnp.int32)
+    last, cache0 = llm_prefill(params, toks, jnp.full((B,), 8, jnp.int32),
                                cache0, cfg)
-    print(f"model: {benchmod.MODEL} ({cfg.n_layers}L/{cfg.dim}d) ctx={ctx}",
-          file=sys.stderr)
+    print(f"model: {benchmod.MODEL} ({cfg.n_layers}L/{cfg.dim}d) ctx={ctx} batch={B}", file=sys.stderr)
 
     def unstack(params):
         """Stacked scan blocks -> per-layer list (the hybrid python-loop
@@ -136,7 +140,7 @@ def main() -> int:
                                + i) % vcfg.n_vocab
                         return (cache, tok), jnp.sum(logits) * 1e-20
                     (cache, _), ys = jax.lax.scan(
-                        body, (cache, jnp.zeros((1,), jnp.int32)),
+                        body, (cache, jnp.zeros((B,), jnp.int32)),
                         jnp.arange(n, dtype=jnp.int32))
                     return jnp.sum(ys)
                 jax.device_get(run(vparams, cache0))

@@ -83,6 +83,12 @@ class CodecConfig:
     up_factors: tuple[int, ...] = (3, 3)
     up_kernels: tuple[int, ...] = (7, 7)
 
+    # bf16-input matmuls (Precision.DEFAULT) instead of exact f32
+    # (Precision.HIGHEST) — ~3x matmul throughput on the MXU, ~1e-3
+    # relative error.  Part of the static jit key, so both modes can
+    # coexist in one process.  See `_set_fast` below.
+    fast: bool = False
+
     @property
     def n_freq(self) -> int:
         return self.n_fft // 2 + 1
@@ -143,15 +149,27 @@ class CodecConfig:
 # ---------------------------------------------------------------------------
 
 # Exact mode (default) keeps every matmul in full f32 (3-pass MXU) for
-# bit-level parity with the reference math; MIOTTS_CODEC_FAST=1 drops to the
-# TPU-native bf16-input matmul (~3x matmul throughput, ~1e-3 relative error —
-# far below the codec's own quantization noise).  Parity tests always run
-# exact mode (conftest does not set the env).
+# bit-level parity with the reference math; fast mode (CodecConfig.fast /
+# EngineConfig.codec_fast / env MIOTTS_CODEC_FAST=1) drops to the TPU-native
+# bf16-input matmul (~3x matmul throughput, ~1e-3 relative error — far below
+# the codec's own quantization noise).  Parity tests always run exact mode.
+#
+# The mode is selected at TRACE time: `_set_fast` mutates the shared kwarg
+# dict at the top of each forward (cfg is a static jit arg, so each fast
+# setting traces its own executable; tracing is synchronous, so the flag
+# can't leak across concurrently-used configs).  The iSTFT basis matmul
+# (ops/istft.py) always stays HIGHEST — it is one cheap matmul and directly
+# shapes the output waveform.
 import os as _os
 
-_PRECISION = (jax.lax.Precision.DEFAULT if _os.environ.get("MIOTTS_CODEC_FAST")
-              else jax.lax.Precision.HIGHEST)
-_DOT = dict(preferred_element_type=jnp.float32, precision=_PRECISION)
+_DOT = dict(preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _set_fast(fast: bool) -> None:
+    fast = fast or bool(_os.environ.get("MIOTTS_CODEC_FAST"))
+    _DOT["precision"] = (jax.lax.Precision.DEFAULT if fast
+                         else jax.lax.Precision.HIGHEST)
 
 
 def _linear(x, w, b=None):
@@ -254,7 +272,7 @@ def _conv1d_same(x, w, b, mask):
         window_strides=(1,), padding=[(1, 1)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+        precision=_DOT["precision"],
     )[0]
     if b is not None:
         y = y + b
@@ -277,7 +295,7 @@ def _conv_transpose1d(x, w, b, stride, mask):
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+        precision=_DOT["precision"],
     )[0]
     if b is not None:
         y = y + b
@@ -332,6 +350,7 @@ def _codec_forward(params: dict, codes: jax.Array, voice_emb: jax.Array,
     debug_decoder_substeps.py workflow, SURVEY.md §4.1)."""
     if tap is None:
         tap = lambda name, x: None
+    _set_fast(cfg.fast)
     T = codes.shape[0]
     if n_real is None:
         n_real = jnp.array(T, jnp.int32)

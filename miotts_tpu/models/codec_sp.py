@@ -239,6 +239,8 @@ def _sp_istft(spec_re, spec_im, cos_b, sin_b, hann, hop, frame_mask, axis):
 def _sp_forward(params, codes_local, voice_emb, n_real, cfg: CodecConfig,
                 axis: str):
     """Per-shard codec forward (runs inside shard_map)."""
+    from .codec import _set_fast
+    _set_fast(cfg.fast)
     C = codes_local.shape[0]
     eps, gn_eps = cfg.norm_eps, cfg.group_norm_eps
     pos_t, di = _global_pos(C, axis)

@@ -355,7 +355,7 @@ def _kv_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
-            k_cur=None, v_cur=None):
+            k_cur=None, v_cur=None, k_buf=None, v_buf=None, buf_valid=None):
     """Causal attention against the cache.
     q: [B, S_q, H, D]; k/v_cache: [B, H_kv, S_max, D]; fill: [B] number of
     valid cache entries; q_pos: [B, S_q] absolute positions of the queries.
@@ -378,6 +378,17 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
     The opt-in Pallas kernel (ops/decode_attn.py, MIOTTS_ATTN_KERNEL=1)
     measured slower than this XLA path and is kept as the documented
     comparison point; it only serves the k_cur-less layout.
+
+    Chunk-buffered batched decode: `k_buf`/`v_buf` [B, H_kv, W, D] carry
+    the CHUNK's earlier tokens (written at a step-indexed column shared by
+    every slot — a cheap dynamic_update_slice instead of a per-slot
+    position scatter, which measured ~6.5 ms/token of pure scatter cost at
+    batch 32 on 2.6B, benchmarks/bench_step.py no_kvwrite).  `buf_valid`
+    [B, W] marks columns written by steps where the slot was active; all
+    valid columns are past tokens of the same slot, so no extra causal
+    test is needed.  Buffers stay unquantized even over an int8 cache
+    (they are W columns — tiny) and are quantized once at the per-chunk
+    merge.
     """
     from ..ops.decode_attn import decode_attention, decode_attention_supported
 
@@ -409,19 +420,35 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
     valid = (key_pos[None, None, :] <= q_pos[:, :, None]) & \
             (key_pos[None, None, :] < fill[:, None, None])
     scores = jnp.where(valid[:, None, None, :, :], scores, -1e9)
+    W = 0
+    if k_buf is not None:
+        # chunk buffer: W extra columns, masked by per-slot step validity
+        W = k_buf.shape[2]
+        s_buf = jnp.einsum("bqgrd,bgwd->bgrqw", qg, k_buf.astype(cdt),
+                           preferred_element_type=jnp.float32) / np.sqrt(D)
+        s_buf = jnp.where(buf_valid[:, None, None, None, :], s_buf, -1e9)
+        scores = jnp.concatenate([scores, s_buf], axis=-1)
     if k_cur is not None:
         # current token: one extra column, always valid (self-attention)
         s_cur = jnp.einsum("bqgrd,bqgd->bgrq", qg, k_cur.astype(cdt),
                            preferred_element_type=jnp.float32) / np.sqrt(D)
         scores = jnp.concatenate([scores, s_cur[..., None]], axis=-1)
-    probs = jax.nn.softmax(scores, axis=-1)  # [B, g, r, q, k(+1)]
+    probs = jax.nn.softmax(scores, axis=-1)  # [B, g, r, q, k(+W)(+1)]
     if k_cur is not None:
         p_cur = probs[..., -1]               # [B, g, r, q]
         probs = probs[..., :-1]
+    p_buf = None
+    if k_buf is not None:
+        p_buf = probs[..., -W:]
+        probs = probs[..., :-W]
     if v_scale is not None:
         probs = probs * v_scale[:, :, None, None, :]
     out = jnp.einsum("bgrqk,bgkd->bqgrd", probs.astype(cdt), vf,
                      preferred_element_type=jnp.float32)
+    if p_buf is not None:
+        out = out + jnp.einsum("bgrqw,bgwd->bqgrd", p_buf.astype(cdt),
+                               v_buf.astype(cdt),
+                               preferred_element_type=jnp.float32)
     if k_cur is not None:
         out = out + jnp.einsum("bgrq,bqgd->bqgrd", p_cur.astype(cdt),
                                v_cur.astype(cdt),
@@ -430,7 +457,7 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
 
 
 def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig,
-                   defer_write: bool = False):
+                   defer_write: bool = False, chunk_buf=None):
     """One transformer block.  x: [B, S, dim]; lcache: this layer's cache
     slices {k, v[, k_scale, v_scale]} with k/v [B, H_kv, S_max, D]; pos:
     [B, S] absolute positions.  Returns (x, new_lcache).
@@ -475,7 +502,11 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig,
     if defer_write:
         # decode path: cache stays read-only; this token's k/v ride into
         # attention directly and out to the caller for the post-scan write
-        if quantized:
+        if chunk_buf is not None:
+            # chunk-buffered path: the caller keeps raw bf16 k/v in the
+            # per-chunk buffer and quantizes once at the merge
+            kv_out = {"k": k[:, 0], "v": v[:, 0]}
+        elif quantized:
             kq, ks = _kv_quantize(k.astype(jnp.float32))
             vq, vs = _kv_quantize(v.astype(jnp.float32))
             kv_out = {"k": kq[:, 0], "v": vq[:, 0],
@@ -483,9 +514,13 @@ def _block_forward(x, blk, lcache: dict, fill, pos, cfg: LLMConfig,
         else:
             kv_out = {"k": k[:, 0].astype(lcache["k"].dtype),
                       "v": v[:, 0].astype(lcache["v"].dtype)}
+        k_buf = v_buf = buf_valid = None
+        if chunk_buf is not None:
+            k_buf, v_buf, buf_valid = chunk_buf
         attn = _attend(q, lcache["k"], lcache["v"], fill, pos,
                        lcache.get("k_scale"), lcache.get("v_scale"),
-                       k_cur=k, v_cur=v)
+                       k_cur=k, v_cur=v,
+                       k_buf=k_buf, v_buf=v_buf, buf_valid=buf_valid)
         x = x + qdot(attn.astype(x.dtype), blk["wo"])
 
         h = _rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
@@ -598,6 +633,17 @@ def _conv_block_forward(x, layer, state, advance, cfg: LLMConfig):
     return x, new_state.astype(state.dtype)
 
 
+def _scatter_kv(buf, p, upd):
+    """Batched-decode KV cache write: one position per slot.
+
+    buf [L, B, H, S, ...]; p [B] per-slot positions; upd [B, L, H, ...]
+    (advanced indices at dims 1 and 3 put the broadcast (B,) dim first, so
+    the scatter consumes the slot-major update directly).  Factored out so
+    benchmarks/bench_step.py can stub it and measure the scatter's cost."""
+    b_idx = jnp.arange(upd.shape[0])
+    return buf.at[:, b_idx, :, p].set(upd)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def llm_forward(params: dict, tokens: jax.Array, pos: jax.Array,
                 cache: dict, cfg: LLMConfig, advance: jax.Array | None = None):
@@ -675,11 +721,10 @@ def llm_forward(params: dict, tokens: jax.Array, pos: jax.Array,
             else:
                 # batched decode: per-row positions (parked rows write at
                 # their parked pos, same semantics as the scatter write)
-                b_idx = jnp.arange(B)
                 p = pos[:, 0]
                 for key, buf in layer_cache.items():
                     upd = jnp.swapaxes(kvs[key], 0, 1).astype(buf.dtype)
-                    new_layer_cache[key] = buf.at[:, b_idx, :, p].set(upd)
+                    new_layer_cache[key] = _scatter_kv(buf, p, upd)
         else:
             # Prefill: per-layer write-into-slice (runs once per request)
             new_layer_cache = dict(layer_cache)
@@ -714,7 +759,10 @@ def llm_prefill(params, tokens, n_real, cache, cfg: LLMConfig):
     pos = jnp.broadcast_to(jnp.arange(S), (B, S))
     logits, cache = llm_forward(params, tokens, pos, cache, cfg,
                                 advance=n_real.astype(jnp.int32))
-    cache = dict(cache, fill=n_real.astype(jnp.int32))
+    # fill must be a COPY of n_real: astype(same dtype) aliases, and a
+    # caller later donating this cache (llm_generate_chunk*) would delete
+    # the caller's own n_real buffer with it
+    cache = dict(cache, fill=jnp.array(n_real, jnp.int32))
     last = jnp.take_along_axis(logits, (n_real - 1)[:, None, None], axis=1)[:, 0]
     return last, cache
 
@@ -791,6 +839,39 @@ def llm_prefill_slots(params: dict, tokens: jax.Array, n_real: jax.Array,
     return last, new_cache
 
 
+def _decode_core(params, tok, pos, cache, cfg: LLMConfig, chunk_buf=None):
+    """One dense decode step against a READ-ONLY cache.  tok [B]; pos
+    [B, 1].  Returns (logits [B, V] f32, kvs) where kvs stacks every
+    layer's k/v for this token ([L, B, H_kv, D]; raw bf16 when
+    `chunk_buf` is given, else quantized to the cache's format).
+
+    `chunk_buf` = (k_buf [L, B, H, W, D], v_buf, valid [B, W]) carries the
+    current chunk's earlier tokens (see _attend)."""
+    x = params["token_embd"][tok[:, None]]            # [B, 1, dim]
+    layer_cache = {k: v for k, v in cache.items() if k != "fill"}
+    kv_list = []
+    for li, blk in enumerate(params["blocks"]):
+        lcache = {key: buf[li] for key, buf in layer_cache.items()}
+        lbuf = None
+        if chunk_buf is not None:
+            kb, vb, valid = chunk_buf
+            lbuf = (kb[li], vb[li], valid)
+        x, kv = _block_forward(x, blk, lcache, cache["fill"], pos, cfg,
+                               defer_write=True, chunk_buf=lbuf)
+        kv_list.append(kv)
+    kvs = {key: jnp.stack([kv[key] for kv in kv_list])
+           for key in kv_list[0]}
+    x = _rms_norm(x, params["output_norm"], cfg.rms_eps)
+    out_w = params.get("output", None)
+    if out_w is None:
+        logits = jax.lax.dot_general(
+            x, params["token_embd"], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        logits = qdot(x, out_w)
+    return logits[:, 0].astype(jnp.float32), kvs
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache",))
 def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
                                cache: dict, active: jax.Array,
@@ -799,39 +880,116 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
                                n_steps: int):
     """Batched on-device generation: up to n_steps tokens for every ACTIVE
     slot, with per-slot stop detection.  Slots that hit a stop token (or
-    were inactive) record -1 and park their cache writes at the last context
-    position (invisible: fill never covers it until the sequence itself
-    reaches it, at which point it is rewritten).
+    were inactive) record -1.
+
+    Dense models use a CHUNK-BUFFERED cache protocol: the big cache is
+    read-only through the whole chunk; each step's k/v land in a small
+    [L, B, H, n_steps, D] buffer at a step-indexed column (the same column
+    for every slot — a dynamic_update_slice, NOT a per-slot-position
+    scatter, which measured ~6.5 ms/token of pure scatter cost at batch 32
+    on 2.6B, benchmarks/bench_step.py no_kvwrite), and ONE per-slot scatter
+    merges the buffer into the cache per chunk.  Because a slot that stops
+    never resumes within a chunk, each slot's valid buffer columns are its
+    first `adv` ones, holding positions fill0..fill0+adv-1 contiguously.
+
+    Hybrid (LFM2) models keep the per-step llm_forward path — their conv
+    state updates are not expressible as a deferred buffer.
 
     last_logits: [B, V]; active: bool [B].
     Returns (buf [B, n_steps] i32, active [B], last_logits, cache, key)."""
     B = last_logits.shape[0]
     buf0 = jnp.full((B, n_steps), -1, jnp.int32)
 
+    if "blocks" not in params:
+        # hybrid path: per-step llm_forward with scatter writes
+        def cond(carry):
+            i, active, *_ = carry
+            return jnp.logical_and(i < n_steps, jnp.any(active))
+
+        def body(carry):
+            i, active, last, cache, key = carry[:5]
+            buf = carry[5]
+            key, sub = jax.random.split(key)
+            tok = sample_token(last, temperature, sub)            # [B]
+            is_stop = jnp.any(tok[:, None] == stop_ids[None, :], axis=-1)
+            active = jnp.logical_and(active, jnp.logical_not(is_stop))
+            buf = buf.at[:, i].set(jnp.where(active, tok, -1))
+            fill = cache["fill"]
+            s_max = cache["k"].shape[3]
+            pos = jnp.where(active, fill, s_max - 1)[:, None]
+            logits, cache = llm_forward(params, tok[:, None], pos, cache,
+                                        cfg, advance=active.astype(jnp.int32))
+            cache = dict(cache, fill=jnp.where(active, fill + 1, fill))
+            return i + 1, active, logits[:, 0], cache, key, buf
+
+        i, active, last, cache, key, buf = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), active, last_logits, cache, key, buf0))
+        return buf, active, last, cache, key
+
+    # dense chunk-buffered path
+    Lc, _, H_kv, s_max, D = cache["k"].shape
+    quantized = "k_scale" in cache
+    bdt = jnp.bfloat16 if cache["k"].dtype != jnp.float32 else jnp.float32
+    kbuf0 = jnp.zeros((Lc, B, H_kv, n_steps, D), bdt)
+    vbuf0 = jnp.zeros((Lc, B, H_kv, n_steps, D), bdt)
+    valid0 = jnp.zeros((B, n_steps), bool)
+    adv0 = jnp.zeros((B,), jnp.int32)
+    fill0 = cache["fill"]
+
     def cond(carry):
-        i, active, *_ = carry
+        i, active = carry[0], carry[1]
         return jnp.logical_and(i < n_steps, jnp.any(active))
 
     def body(carry):
-        i, active, last, cache, key = carry[:5]
-        buf = carry[5]
+        i, active, last, key, buf, kbuf, vbuf, valid, adv = carry
         key, sub = jax.random.split(key)
-        tok = sample_token(last, temperature, sub)            # [B]
+        tok = sample_token(last, temperature, sub)                # [B]
         is_stop = jnp.any(tok[:, None] == stop_ids[None, :], axis=-1)
         active = jnp.logical_and(active, jnp.logical_not(is_stop))
         buf = buf.at[:, i].set(jnp.where(active, tok, -1))
-        fill = cache["fill"]
-        s_max = cache["k"].shape[3]
-        pos = jnp.where(active, fill, s_max - 1)[:, None]
-        logits, cache = llm_forward(params, tok[:, None], pos, cache, cfg,
-                                    advance=active.astype(jnp.int32))
-        cache = dict(cache, fill=jnp.where(active, fill + 1, fill))
-        return i + 1, active, logits[:, 0], cache, key, buf
+        pos = jnp.where(active, fill0 + adv, s_max - 1)[:, None]
+        logits, kvs = _decode_core(params, tok, pos, cache, cfg,
+                                   chunk_buf=(kbuf, vbuf, valid))
+        # write column i (same index for every slot -> no scatter); the
+        # current token was already attended via k_cur, so the column only
+        # becomes visible from step i+1 on
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, kvs["k"][:, :, :, None, :].astype(bdt), (0, 0, 0, i, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, kvs["v"][:, :, :, None, :].astype(bdt), (0, 0, 0, i, 0))
+        valid = jax.lax.dynamic_update_slice(valid, active[:, None], (0, i))
+        adv = adv + active.astype(jnp.int32)
+        return i + 1, active, logits, key, buf, kbuf, vbuf, valid, adv
 
-    i, active, last, cache, key, buf = jax.lax.while_loop(
+    i, active, last, key, buf, kbuf, vbuf, valid, adv = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), active, last_logits, cache, key, buf0))
-    return buf, active, last, cache, key
+        (jnp.int32(0), active, last_logits, key, buf0, kbuf0, vbuf0,
+         valid0, adv0))
+
+    # ONE merge scatter per chunk: slot b's column j targets position
+    # fill0[b] + j while j < adv[b], else parks at s_max - 1 (invisible:
+    # fill never covers it until the sequence itself reaches it, at which
+    # point it is rewritten).
+    j_idx = jnp.arange(n_steps)
+    tpos = jnp.where(j_idx[None, :] < adv[:, None],
+                     fill0[:, None] + j_idx[None, :], s_max - 1)   # [B, W]
+    b_idx = jnp.arange(B)[:, None]                                 # [B, 1]
+    new_cache = dict(cache)
+    if quantized:
+        kq, ks = _kv_quantize(kbuf.astype(jnp.float32))
+        vq, vs = _kv_quantize(vbuf.astype(jnp.float32))
+        updates = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+    else:
+        updates = {"k": kbuf, "v": vbuf}
+    for name, upd in updates.items():
+        # upd [L, B, H, W(, D)] -> [B, W, L, H(, D)] to match the advanced
+        # indices (b, tpos) at cache dims 1 and 3
+        upd = jnp.moveaxis(jnp.moveaxis(upd, 1, 0), 3, 1)
+        new_cache[name] = cache[name].at[:, b_idx, :, tpos].set(
+            upd.astype(cache[name].dtype))
+    new_cache["fill"] = fill0 + adv
+    return buf, active, last, new_cache, key
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache",))

@@ -300,12 +300,11 @@ class ContinuousBatcher:
         t0 = time.perf_counter()
         for audio_dev, items in self._pending:
             audio_np = np.asarray(audio_dev)
-            spt = self.engine.codec_cfg.samples_per_token
-            for req, row, begin, end, n_dec in items:
-                if req.done:
+            for req, row, off, n in items:
+                if req.done or n <= 0:
                     continue
-                seg = audio_np[row, : n_dec * spt]
-                if not self._emit_samples(req, seg, begin, end, False):
+                seg = audio_np[row, off:off + n]
+                if not self._emit_samples(req, seg, 0, n, False):
                     self._finish(req, False)
         if self._pending:
             self.stage["flush_wait_sec"] += time.perf_counter() - t0
@@ -397,29 +396,40 @@ class ContinuousBatcher:
                 if deferred:
                     spt = self.engine.codec_cfg.samples_per_token
                     t0 = time.perf_counter()
-                    audio_dev, lens = self.engine.decode_codes_batch_async(
-                        [r.codes[s:] for r, _, s in deferred],
-                        [r.voice for r, _, _ in deferred])
+                    # dispatch ONLY each stream's [committed, target) slice
+                    # (on-device slicing: the full windows would move ~6x
+                    # the bytes over the relay's ~66 MB/s host link)
+                    audio_dev, offs, n_samp = \
+                        self.engine.decode_codes_batch_sliced_async(
+                            [r.codes[s:] for r, _, s in deferred],
+                            [r.voice for r, _, _ in deferred],
+                            [(r.committed - s) * spt for r, _, s in deferred],
+                            [(t - s) * spt for r, t, s in deferred])
                     self.stage["codec_dispatch_sec"] += time.perf_counter() - t0
                     self.stage["decodes"] += 1
                     items = []
                     for row, (req, target, s) in enumerate(deferred):
-                        begin = (req.committed - s) * spt
-                        end = (target - s) * spt
                         req.committed = target
-                        items.append((req, row, begin, end, lens[row]))
+                        items.append((req, row, offs[row], n_samp[row]))
                     self._pending.append((audio_dev, items))
             if sync_work:
+                spt = self.engine.codec_cfg.samples_per_token
                 t0 = time.perf_counter()
-                audios = self.engine.decode_codes_batch(
+                segs = self.engine.decode_codes_batch_sliced(
                     [r.codes[s:] for (r, _, _), s in sync_work],
-                    [r.voice for (r, _, _), _ in sync_work])
+                    [r.voice for (r, _, _), _ in sync_work],
+                    [(r.committed - s) * spt for (r, _, _), s in sync_work],
+                    [(t - s) * spt for (r, t, _), s in sync_work])
                 self.stage["codec_sync_sec"] += time.perf_counter() - t0
                 self.stage["decodes"] += 1
-                for ((req, target, is_final), s), audio in zip(sync_work,
-                                                               audios):
-                    ok = self._emit_audio(req, audio, target, is_final,
-                                          start=s)
+                for ((req, target, is_final), s), seg in zip(sync_work, segs):
+                    if seg.size == 0:
+                        ok = (req.callback(None, self.engine.sample_rate, True)
+                              if is_final else True)
+                    else:
+                        req.committed = target
+                        ok = self._emit_samples(req, seg, 0, seg.size,
+                                                is_final)
                     if is_final:
                         self._finish(req, ok)
                     elif not ok:

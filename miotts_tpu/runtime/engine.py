@@ -276,6 +276,32 @@ def _spec_audio_vmapped(lm_b, ph_b, cos_b, sin_b, hann, hop, frames_per_code,
         in_axes=(0, 0, 0))(lm_b, ph_b, n_real_b)
 
 
+@partial(jax.jit, static_argnames=("cfg", "emit_len"))
+def _codec_audio_sliced_vmapped(params, codes_b, embs_b, cfg, n_real_b,
+                                starts_b, emit_len: int):
+    """Batched codec decode returning ONLY each stream's emission slice:
+    audio[b, starts[b] : starts[b] + emit_len].
+
+    Full batched audio is [B, bucket*spt] — 58 MB at B=64/T=128 — and the
+    relay-tunneled device->host link moves ~66 MB/s, so materializing the
+    whole buffer costs ~0.9 s while the decode itself computes in ~0.13 s
+    (benchmarks: batcher stage timers + /tmp transfer probe).  A commit
+    emits only ~chunk_steps codes per stream, so slicing on device cuts
+    the transfer by the window/commit ratio (~6x).  `starts_b` must be
+    pre-clamped to [0, total - emit_len]."""
+    lm, ph = jax.vmap(
+        lambda c, e, n: codec_decode_spec(params, c, e, cfg, n_real=n),
+        in_axes=(0, 0, 0))(codes_b, embs_b, n_real_b)
+    audio = jax.vmap(
+        lambda l, p, n: spec_to_audio_bucketed(
+            l, p, params["istft_cos_basis"], params["istft_sin_basis"],
+            params["istft_hann"], cfg.hop_length, cfg.total_upsample, n),
+        in_axes=(0, 0, 0))(lm, ph, n_real_b)
+    return jax.vmap(
+        lambda a, s: jax.lax.dynamic_slice(a, (s,), (emit_len,)))(
+            audio, starts_b)
+
+
 @partial(jax.jit, static_argnames=("new_len",))
 def _grow_buf(buf, new_len: int):
     """Grow a device code buffer in place (full-mode bucket growth) — a
@@ -352,6 +378,11 @@ class EngineConfig:
     # span devices).
     codec_device: int = -1
     pipeline_codec: bool = False
+    # bf16-input codec matmuls (CodecConfig.fast): ~3x MXU throughput at
+    # ~1e-3 relative audio error — far below the codec's own quantization
+    # noise.  Default off so parity paths stay exact-f32; serving benches
+    # turn it on.
+    codec_fast: bool = False
 
 
 @dataclass
@@ -414,6 +445,9 @@ class TTSEngine:
         codec_reader = GGUFReader(config.codec_path)
         self.codec_params, self.codec_cfg = load_codec_params(codec_reader)
         codec_reader.close()
+        if config.codec_fast:
+            import dataclasses
+            self.codec_cfg = dataclasses.replace(self.codec_cfg, fast=True)
         if config.codec_device >= 0:
             devs = jax.devices()
             self.codec_params = jax.device_put(
@@ -740,6 +774,58 @@ class TTSEngine:
             profile.decode_calls += 1
             profile.decoded_codes += sum(lens)
         return [audio[i, : lens[i] * cfg.samples_per_token] for i in range(B)]
+
+    def decode_codes_batch_sliced_async(self, codes_list: list, voices: list,
+                                        begins: list, ends: list):
+        """Batched codec decode that dispatches ONLY each stream's emission
+        slice [begins[i], ends[i]) (sample offsets relative to the decoded
+        window).  The full batched audio buffer is ~58 MB at 64 slots and
+        the relay link moves ~66 MB/s, so materializing whole windows costs
+        ~0.9 s/round while the decode computes in ~0.13 s — the transfer,
+        not the compute, was the serving codec cost.  Returns
+        (audio_dev [B, E], offsets, n_samples): row i's samples are
+        audio_dev[i, offsets[i] : offsets[i] + n_samples[i]]."""
+        assert len(codes_list) == len(voices) == len(begins) == len(ends)
+        cfg = self.codec_cfg
+        spt = cfg.samples_per_token
+        lens = [len(c) for c in codes_list]
+        bucket = _bucket_len(max(lens), self.config.code_bucket)
+        B = len(codes_list)
+        padded = np.zeros((B, bucket), np.int32)
+        embs = np.zeros((B, cfg.adaln_dim), np.float32)
+        for i, (c, v) in enumerate(zip(codes_list, voices)):
+            padded[i, :lens[i]] = np.asarray(c, np.int32)
+            embs[i] = v.embedding
+        total = bucket * spt
+        n_samp = [max(0, min(int(e), lens[i] * spt) - int(b))
+                  for i, (b, e) in enumerate(zip(begins, ends))]
+        # emission-slice bucket: multiples of 8 codes of audio, O(1) jit keys
+        E = min(_round_up(max(n_samp + [1]), 8 * spt), total)
+        starts, offs = [], []
+        for b in begins:
+            s = max(0, min(int(b), total - E))
+            starts.append(s)
+            offs.append(int(b) - s)
+        audio = _codec_audio_sliced_vmapped(
+            self.codec_params, jnp.asarray(padded), jnp.asarray(embs), cfg,
+            jnp.asarray(lens, jnp.int32), jnp.asarray(starts, jnp.int32), E)
+        return audio, offs, n_samp
+
+    def decode_codes_batch_sliced(self, codes_list: list, voices: list,
+                                  begins: list, ends: list,
+                                  profile: StreamProfile | None = None) -> list:
+        """Synchronous wrapper of decode_codes_batch_sliced_async: returns
+        a list of float PCM arrays, exactly ends[i]-begins[i] samples each
+        (clipped to the decoded length)."""
+        t0 = time.perf_counter()
+        audio, offs, n_samp = self.decode_codes_batch_sliced_async(
+            codes_list, voices, begins, ends)
+        a = np.asarray(audio)
+        if profile:
+            profile.codec_sec += time.perf_counter() - t0
+            profile.decode_calls += 1
+            profile.decoded_codes += sum(len(c) for c in codes_list)
+        return [a[i, offs[i]:offs[i] + n_samp[i]] for i in range(len(offs))]
 
     def decode_codes_batch_async(self, codes_list: list, voices: list):
         """Batched codec decode dispatched WITHOUT materialization (the

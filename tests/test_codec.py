@@ -130,3 +130,23 @@ def test_codec_stages_match_committed_goldens():
     for name in golden.files:
         np.testing.assert_allclose(stages[name], golden[name], atol=1e-5,
                                    err_msg=f"stage {name} diverged from golden")
+
+
+def test_fast_mode_matches_exact_on_cpu(tiny_codec, rng):
+    """CodecConfig.fast selects bf16-input matmul precision at trace time.
+    On the CPU backend both precisions compute identical f32 math, so this
+    validates the plumbing (separate jit keys, no cross-contamination when
+    both modes run interleaved in one process); the ~1e-3 TPU error bound
+    is measured by the serving bench."""
+    import dataclasses
+    params, cfg = tiny_codec
+    cfg_fast = dataclasses.replace(cfg, fast=True)
+    T = 6
+    codes = jnp.asarray(rng.integers(0, 64, T), jnp.int32)
+    emb = jnp.asarray(rng.standard_normal(cfg.adaln_dim), jnp.float32)
+    a_exact1 = np.asarray(codec_decode_audio(params, codes, emb, cfg))
+    a_fast = np.asarray(codec_decode_audio(params, codes, emb, cfg_fast))
+    # interleave: exact again AFTER a fast trace must still be exact
+    a_exact2 = np.asarray(codec_decode_audio(params, codes, emb, cfg))
+    np.testing.assert_array_equal(a_exact1, a_exact2)
+    np.testing.assert_allclose(a_fast, a_exact1, rtol=1e-5, atol=1e-5)

@@ -399,3 +399,104 @@ def test_filtered_sampling(rng):
         for b in range(2):
             topset = np.argsort(-np.asarray(logits)[b])[:50]
             assert t[b] in topset
+
+
+def test_generate_chunk_batched_matches_stepwise(tmp_path, rng):
+    """The chunk-buffered batched generator (read-only cache + per-chunk
+    merge) must reproduce greedy stepwise decode: same tokens, same cache
+    contents at every valid position, same fill; inactive slots untouched;
+    a stop token freezes its slot mid-chunk."""
+    from miotts_tpu.models.llm import llm_generate_chunk_batched
+    params, cfg, r = _build(tmp_path)
+    r.close()
+    B, ctx, W = 3, 64, 6
+    toks = rng.integers(0, cfg.n_vocab, (B, 8)).astype(np.int32)
+    n_real = jnp.asarray([5, 8, 3], jnp.int32)
+
+    def fresh():
+        cache = init_kv_cache(cfg, B, ctx, dtype=jnp.float32)
+        return llm_prefill(params, jnp.asarray(toks), n_real, cache, cfg)
+
+    # --- stepwise greedy reference (all slots active, no stops) ---
+    last_ref, cache_ref = fresh()
+    ref_toks = []
+    for _ in range(W):
+        t = jnp.argmax(last_ref, -1).astype(jnp.int32)
+        ref_toks.append(np.asarray(t))
+        last_ref, cache_ref = llm_decode_step(params, t, cache_ref, cfg)
+    ref_toks = np.stack(ref_toks, 1)                      # [B, W]
+
+    last0, cache0 = fresh()
+    buf, active, last, cache, _ = llm_generate_chunk_batched(
+        params, last0, cache0, jnp.asarray([True] * B),
+        jax.random.PRNGKey(0), jnp.float32(0.0),
+        jnp.asarray([-7], jnp.int32), cfg, W)
+    np.testing.assert_array_equal(np.asarray(buf), ref_toks)
+    assert np.asarray(active).all()
+    np.testing.assert_allclose(np.asarray(last), np.asarray(last_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache["fill"]),
+                                  np.asarray(n_real) + W)
+    # cache parity at every valid position
+    kr, kb = np.asarray(cache_ref["k"]), np.asarray(cache["k"])
+    vr, vb = np.asarray(cache_ref["v"]), np.asarray(cache["v"])
+    for b in range(B):
+        f = int(n_real[b]) + W
+        np.testing.assert_allclose(kb[:, b, :, :f], kr[:, b, :, :f],
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(vb[:, b, :, :f], vr[:, b, :, :f],
+                                   rtol=2e-4, atol=2e-4)
+
+    # --- inactive slot stays untouched ---
+    last0, cache0 = fresh()
+    k_before = np.asarray(cache0["k"][:, 1])
+    buf2, active2, _, cache2, _ = llm_generate_chunk_batched(
+        params, last0, cache0, jnp.asarray([True, False, True]),
+        jax.random.PRNGKey(0), jnp.float32(0.0),
+        jnp.asarray([-7], jnp.int32), cfg, W)
+    assert (np.asarray(buf2)[1] == -1).all()
+    assert int(cache2["fill"][1]) == int(n_real[1])
+    f1 = int(n_real[1])
+    np.testing.assert_array_equal(np.asarray(cache2["k"][:, 1, :, :f1]),
+                                  k_before[:, :, :f1])
+
+    # --- stop token freezes a slot mid-chunk ---
+    stop_tok = int(ref_toks[0, 2])                 # slot 0 emits it at step 2
+    last0, cache0 = fresh()
+    buf3, active3, _, cache3, _ = llm_generate_chunk_batched(
+        params, last0, cache0, jnp.asarray([True] * B),
+        jax.random.PRNGKey(0), jnp.float32(0.0),
+        jnp.asarray([stop_tok], jnp.int32), cfg, W)
+    b3 = np.asarray(buf3)
+    assert not bool(np.asarray(active3)[0])
+    assert (b3[0, 2:] == -1).all()                 # from the stop on: -1
+    np.testing.assert_array_equal(b3[0, :2], ref_toks[0, :2])
+    assert int(cache3["fill"][0]) == int(n_real[0]) + 2
+
+
+def test_generate_chunk_batched_quantized_kv(tmp_path, rng):
+    """Chunk-buffered generation over an int8 cache: within-chunk attention
+    reads raw bf16 buffers (exact), the merge quantizes once.  Greedy
+    tokens must match the f32-cache chunk path on a well-separated logit
+    landscape."""
+    from miotts_tpu.models.llm import llm_generate_chunk_batched
+    params, cfg, r = _build(tmp_path)
+    r.close()
+    B, ctx, W = 2, 64, 5
+    toks = rng.integers(0, cfg.n_vocab, (B, 6)).astype(np.int32)
+    n_real = jnp.asarray([6, 4], jnp.int32)
+
+    outs = {}
+    for quant in (False, True):
+        cache = init_kv_cache(cfg, B, ctx, dtype=jnp.float32,
+                              quantized=quant)
+        last, cache = llm_prefill(params, jnp.asarray(toks), n_real,
+                                  cache, cfg)
+        buf, _, _, cache, _ = llm_generate_chunk_batched(
+            params, last, cache, jnp.asarray([True] * B),
+            jax.random.PRNGKey(0), jnp.float32(0.0),
+            jnp.asarray([-7], jnp.int32), cfg, W)
+        outs[quant] = np.asarray(buf)
+        np.testing.assert_array_equal(np.asarray(cache["fill"]),
+                                      np.asarray(n_real) + W)
+    np.testing.assert_array_equal(outs[False], outs[True])
