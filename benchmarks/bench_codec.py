@@ -82,13 +82,16 @@ def main() -> int:
     n_real = jnp.full((B,), T - 8, jnp.int32)
 
     def timeit(fn, *args):
-        out = fn(*args)                       # compile
-        jax.block_until_ready(out)
+        # np.asarray of a scalar reduction, NOT block_until_ready: the
+        # relay backend's block_until_ready returns before the program
+        # finishes (measured 0.1 ms for a 125 ms decode), while fetching a
+        # scalar genuinely synchronizes and transfers 4 bytes.
+        red = jax.jit(lambda *a: jnp.sum(fn(*a)))
+        float(np.asarray(red(*args)))         # compile
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(*args)
-            jax.block_until_ready(out)
+            float(np.asarray(red(*args)))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -872,12 +872,13 @@ def _decode_core(params, tok, pos, cache, cfg: LLMConfig, chunk_buf=None):
     return logits[:, 0].astype(jnp.float32), kvs
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache",))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
+         donate_argnames=("cache",))
 def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
                                cache: dict, active: jax.Array,
                                key: jax.Array, temperature: jax.Array,
                                stop_ids: jax.Array, cfg: LLMConfig,
-                               n_steps: int):
+                               n_steps: int, attn_len: int = 0):
     """Batched on-device generation: up to n_steps tokens for every ACTIVE
     slot, with per-slot stop detection.  Slots that hit a stop token (or
     were inactive) record -1.
@@ -894,6 +895,14 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
 
     Hybrid (LFM2) models keep the per-step llm_forward path — their conv
     state updates are not expressible as a deferred buffer.
+
+    `attn_len` (static, dense path only; 0 = full): attention reads only
+    the first attn_len cache positions — per-step KV traffic scales with
+    the CURRENT context bucket instead of the allocated ctx_len.  The
+    caller must guarantee every active slot's fill + n_steps <= attn_len;
+    the merge still targets the full cache.  (An inactive slot whose old
+    fill exceeds attn_len only yields garbage logits for that parked slot,
+    which are never used.)
 
     last_logits: [B, V]; active: bool [B].
     Returns (buf [B, n_steps] i32, active [B], last_logits, cache, key)."""
@@ -930,6 +939,11 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
     # dense chunk-buffered path
     Lc, _, H_kv, s_max, D = cache["k"].shape
     quantized = "k_scale" in cache
+    if attn_len and attn_len < s_max:
+        cache_view = {k: (v if k == "fill" else v[:, :, :, :attn_len])
+                      for k, v in cache.items()}
+    else:
+        cache_view = cache
     bdt = jnp.bfloat16 if cache["k"].dtype != jnp.float32 else jnp.float32
     kbuf0 = jnp.zeros((Lc, B, H_kv, n_steps, D), bdt)
     vbuf0 = jnp.zeros((Lc, B, H_kv, n_steps, D), bdt)
@@ -949,7 +963,7 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
         active = jnp.logical_and(active, jnp.logical_not(is_stop))
         buf = buf.at[:, i].set(jnp.where(active, tok, -1))
         pos = jnp.where(active, fill0 + adv, s_max - 1)[:, None]
-        logits, kvs = _decode_core(params, tok, pos, cache, cfg,
+        logits, kvs = _decode_core(params, tok, pos, cache_view, cfg,
                                    chunk_buf=(kbuf, vbuf, valid))
         # write column i (same index for every slot -> no scatter); the
         # current token was already attended via k_cur, so the column only

@@ -106,6 +106,10 @@ class ContinuousBatcher:
             self.last_logits = jax.device_put(
                 self.last_logits, NamedSharding(mesh, Psp("data", None)))
         self.active = np.zeros(n_slots, bool)
+        # host-side per-slot fill upper bound (prompt + dispatched chunk
+        # budget): picks the attention-length bucket for each chunk, so
+        # per-step KV reads scale with the live context, not ctx_len
+        self._fill_ub = np.zeros(n_slots, np.int64)
         self.slot_req: list[Optional[Request]] = [None] * n_slots
         self.waiting: deque[Request] = deque()
         self._next_id = 0
@@ -192,10 +196,11 @@ class ContinuousBatcher:
             self.cache, jnp.asarray(slots), self.cfg)
         self.last_logits = self.last_logits.at[jnp.asarray(slots)].set(last)
         self._active_dev = self._active_dev.at[jnp.asarray(slots)].set(True)
-        for slot, req, _ in admit:
+        for slot, req, ids in admit:
             self.active[slot] = True
             self.slot_req[slot] = req
             req.slot = slot
+            self._fill_ub[slot] = len(ids)
         self._dirty_codes = True
         self.stage["admit_sec"] += time.perf_counter() - t0
         self.stage["prefills"] += 1
@@ -315,11 +320,19 @@ class ContinuousBatcher:
         dispatched = False
         if np.any(self.active):
             self._key, key = jax.random.split(self._key)
+            # attention-length bucket: every active slot's fill stays under
+            # fill_ub, so reading only the first attn_len cache positions
+            # is exact.  Geometric buckets keep the jit-key count O(log n).
+            need = int(self._fill_ub[self.active].max()) + self.chunk_steps
+            attn_len = min(_bucket_len(need, 128), self.ctx_len)
+            if attn_len >= self.ctx_len:
+                attn_len = 0                      # full cache — no slice
             buf, self._active_dev, self.last_logits, self.cache, _ = \
                 llm_generate_chunk_batched(
                     self.engine.llm_params, self.last_logits, self.cache,
                     self._active_dev, key, self._temp, self._stop_ids,
-                    self.cfg, self.chunk_steps)
+                    self.cfg, self.chunk_steps, attn_len)
+            self._fill_ub[self.active] += self.chunk_steps
             self._inflight.append((buf, self._active_dev,
                                    list(self.slot_req)))
             dispatched = True

@@ -500,3 +500,31 @@ def test_generate_chunk_batched_quantized_kv(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(cache["fill"]),
                                       np.asarray(n_real) + W)
     np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_generate_chunk_batched_attn_len_bucket(tmp_path, rng):
+    """attn_len slices the attention reads to the live context bucket; with
+    every fill + n_steps <= attn_len the result must be identical to the
+    full-cache chunk."""
+    from miotts_tpu.models.llm import llm_generate_chunk_batched
+    params, cfg, r = _build(tmp_path)
+    r.close()
+    B, ctx, W = 2, 128, 5
+    toks = rng.integers(0, cfg.n_vocab, (B, 7)).astype(np.int32)
+    n_real = jnp.asarray([7, 4], jnp.int32)
+
+    outs = {}
+    for attn_len in (0, 32):
+        cache = init_kv_cache(cfg, B, ctx, dtype=jnp.float32)
+        last, cache = llm_prefill(params, jnp.asarray(toks), n_real,
+                                  cache, cfg)
+        buf, _, last2, cache, _ = llm_generate_chunk_batched(
+            params, last, cache, jnp.asarray([True] * B),
+            jax.random.PRNGKey(0), jnp.float32(0.0),
+            jnp.asarray([-7], jnp.int32), cfg, W, attn_len)
+        outs[attn_len] = (np.asarray(buf), np.asarray(last2),
+                          np.asarray(cache["k"]), np.asarray(cache["fill"]))
+    np.testing.assert_array_equal(outs[0][0], outs[32][0])
+    np.testing.assert_allclose(outs[0][1], outs[32][1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[0][2], outs[32][2], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(outs[0][3], outs[32][3])
