@@ -23,7 +23,9 @@ import numpy as np
 def main() -> int:
     n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     max_tokens = int(sys.argv[2]) if len(sys.argv) > 2 else 96
-    n_slots = min(n_streams, int(os.environ.get("MIOTTS_BENCH_SLOTS", "8")))
+    # slots default to one per stream (measured: slot scaling is near-free
+    # up to 64 on one v5e — weight reads amortize; 96 is past the knee)
+    n_slots = min(n_streams, int(os.environ.get("MIOTTS_BENCH_SLOTS", "64")))
 
     from bench import ensure_models  # reuse the cached synthetic models
     llm_path, codec_path, emb_path = ensure_models()
@@ -33,7 +35,9 @@ def main() -> int:
 
     engine = TTSEngine(EngineConfig(
         model_path=llm_path, codec_path=codec_path, max_tokens=max_tokens,
-        codec_fast=os.environ.get("MIOTTS_BENCH_CODEC_FAST", "") == "1"))
+        codec_fast=os.environ.get("MIOTTS_BENCH_CODEC_FAST", "") == "1",
+        i16_transfer=os.environ.get("MIOTTS_BENCH_I16", "") == "1",
+        pipeline_codec=os.environ.get("MIOTTS_BENCH_PIPE", "") == "1"))
     voice = VoiceModel(emb_path)
     print(f"bench_batch: warming up (slots={n_slots})...", file=sys.stderr, flush=True)
     engine.warmup(max_codes=max_tokens, prompt_len=80)

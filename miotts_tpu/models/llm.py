@@ -839,26 +839,55 @@ def llm_prefill_slots(params: dict, tokens: jax.Array, n_real: jax.Array,
     return last, new_cache
 
 
-def _decode_core(params, tok, pos, cache, cfg: LLMConfig, chunk_buf=None):
-    """One dense decode step against a READ-ONLY cache.  tok [B]; pos
-    [B, 1].  Returns (logits [B, V] f32, kvs) where kvs stacks every
-    layer's k/v for this token ([L, B, H_kv, D]; raw bf16 when
-    `chunk_buf` is given, else quantized to the cache's format).
+def _decode_core(params, tok, pos, cache, cfg: LLMConfig, chunk_buf=None,
+                 conv_state=None, advance=None):
+    """One decode step against a READ-ONLY attention cache.  tok [B]; pos
+    [B, 1].  Returns (logits [B, V] f32, kvs, new_conv) where kvs stacks
+    every attention layer's k/v for this token ([L_attn, B, H_kv, D]; raw
+    bf16 when `chunk_buf` is given, else quantized to the cache's format)
+    and new_conv is the updated [n_conv, B, L-1, dim] short-conv state
+    (None for dense models).
 
-    `chunk_buf` = (k_buf [L, B, H, W, D], v_buf, valid [B, W]) carries the
-    current chunk's earlier tokens (see _attend)."""
+    `chunk_buf` = (k_buf [L_attn, B, H, W, D], v_buf, valid [B, W]) carries
+    the current chunk's earlier tokens (see _attend).  Hybrid (LFM2)
+    models additionally thread `conv_state` + `advance` [B] (1 = the slot
+    really advances) through their gated short-conv layers — conv state is
+    tiny, so it rides the loop carry rather than a deferred buffer."""
     x = params["token_embd"][tok[:, None]]            # [B, 1, dim]
-    layer_cache = {k: v for k, v in cache.items() if k != "fill"}
+    layer_cache = {k: v for k, v in cache.items()
+                   if k not in ("fill", "conv")}
     kv_list = []
-    for li, blk in enumerate(params["blocks"]):
-        lcache = {key: buf[li] for key, buf in layer_cache.items()}
+
+    def attn_layer(x, blk, attn_i):
+        lcache = {key: buf[attn_i] for key, buf in layer_cache.items()}
         lbuf = None
         if chunk_buf is not None:
             kb, vb, valid = chunk_buf
-            lbuf = (kb[li], vb[li], valid)
+            lbuf = (kb[attn_i], vb[attn_i], valid)
         x, kv = _block_forward(x, blk, lcache, cache["fill"], pos, cfg,
                                defer_write=True, chunk_buf=lbuf)
         kv_list.append(kv)
+        return x
+
+    new_conv = None
+    if "layers" in params:
+        new_conv_list = []
+        attn_i = conv_i = 0
+        for li, layer_p in enumerate(params["layers"]):
+            kind = cfg.layer_types[li] if cfg.layer_types else "attn"
+            if kind == "attn":
+                x = attn_layer(x, layer_p, attn_i)
+                attn_i += 1
+            else:
+                x, st = _conv_block_forward(x, layer_p, conv_state[conv_i],
+                                            advance, cfg)
+                new_conv_list.append(st)
+                conv_i += 1
+        if new_conv_list:
+            new_conv = jnp.stack(new_conv_list)
+    else:
+        for li, blk in enumerate(params["blocks"]):
+            x = attn_layer(x, blk, li)
     kvs = {key: jnp.stack([kv[key] for kv in kv_list])
            for key in kv_list[0]}
     x = _rms_norm(x, params["output_norm"], cfg.rms_eps)
@@ -869,7 +898,7 @@ def _decode_core(params, tok, pos, cache, cfg: LLMConfig, chunk_buf=None):
             preferred_element_type=jnp.float32)
     else:
         logits = qdot(x, out_w)
-    return logits[:, 0].astype(jnp.float32), kvs
+    return logits[:, 0].astype(jnp.float32), kvs, new_conv
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
@@ -893,10 +922,11 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
     never resumes within a chunk, each slot's valid buffer columns are its
     first `adv` ones, holding positions fill0..fill0+adv-1 contiguously.
 
-    Hybrid (LFM2) models keep the per-step llm_forward path — their conv
-    state updates are not expressible as a deferred buffer.
+    Hybrid (LFM2) models buffer their attention layers the same way; the
+    gated short-conv state is tiny ([n_conv, B, L-1, dim]) and rides the
+    loop carry, written back once with the merge.
 
-    `attn_len` (static, dense path only; 0 = full): attention reads only
+    `attn_len` (static; 0 = full): attention reads only
     the first attn_len cache positions — per-step KV traffic scales with
     the CURRENT context bucket instead of the allocated ctx_len.  The
     caller must guarantee every active slot's fill + n_steps <= attn_len;
@@ -909,38 +939,12 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
     B = last_logits.shape[0]
     buf0 = jnp.full((B, n_steps), -1, jnp.int32)
 
-    if "blocks" not in params:
-        # hybrid path: per-step llm_forward with scatter writes
-        def cond(carry):
-            i, active, *_ = carry
-            return jnp.logical_and(i < n_steps, jnp.any(active))
-
-        def body(carry):
-            i, active, last, cache, key = carry[:5]
-            buf = carry[5]
-            key, sub = jax.random.split(key)
-            tok = sample_token(last, temperature, sub)            # [B]
-            is_stop = jnp.any(tok[:, None] == stop_ids[None, :], axis=-1)
-            active = jnp.logical_and(active, jnp.logical_not(is_stop))
-            buf = buf.at[:, i].set(jnp.where(active, tok, -1))
-            fill = cache["fill"]
-            s_max = cache["k"].shape[3]
-            pos = jnp.where(active, fill, s_max - 1)[:, None]
-            logits, cache = llm_forward(params, tok[:, None], pos, cache,
-                                        cfg, advance=active.astype(jnp.int32))
-            cache = dict(cache, fill=jnp.where(active, fill + 1, fill))
-            return i + 1, active, logits[:, 0], cache, key, buf
-
-        i, active, last, cache, key, buf = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), active, last_logits, cache, key, buf0))
-        return buf, active, last, cache, key
-
-    # dense chunk-buffered path
+    hybrid = "conv" in cache
     Lc, _, H_kv, s_max, D = cache["k"].shape
     quantized = "k_scale" in cache
     if attn_len and attn_len < s_max:
-        cache_view = {k: (v if k == "fill" else v[:, :, :, :attn_len])
+        cache_view = {k: (v if k in ("fill", "conv")
+                          else v[:, :, :, :attn_len])
                       for k, v in cache.items()}
     else:
         cache_view = cache
@@ -949,6 +953,7 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
     vbuf0 = jnp.zeros((Lc, B, H_kv, n_steps, D), bdt)
     valid0 = jnp.zeros((B, n_steps), bool)
     adv0 = jnp.zeros((B,), jnp.int32)
+    conv0 = cache["conv"] if hybrid else jnp.zeros((), jnp.float32)
     fill0 = cache["fill"]
 
     def cond(carry):
@@ -956,15 +961,21 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
         return jnp.logical_and(i < n_steps, jnp.any(active))
 
     def body(carry):
-        i, active, last, key, buf, kbuf, vbuf, valid, adv = carry
+        i, active, last, key, buf, kbuf, vbuf, valid, adv, conv = carry
         key, sub = jax.random.split(key)
         tok = sample_token(last, temperature, sub)                # [B]
         is_stop = jnp.any(tok[:, None] == stop_ids[None, :], axis=-1)
         active = jnp.logical_and(active, jnp.logical_not(is_stop))
         buf = buf.at[:, i].set(jnp.where(active, tok, -1))
         pos = jnp.where(active, fill0 + adv, s_max - 1)[:, None]
-        logits, kvs = _decode_core(params, tok, pos, cache_view, cfg,
-                                   chunk_buf=(kbuf, vbuf, valid))
+        adv_step = active.astype(jnp.int32)
+        logits, kvs, new_conv = _decode_core(
+            params, tok, pos, cache_view, cfg,
+            chunk_buf=(kbuf, vbuf, valid),
+            conv_state=conv if hybrid else None,
+            advance=adv_step if hybrid else None)
+        if hybrid:
+            conv = new_conv.astype(conv.dtype)
         # write column i (same index for every slot -> no scatter); the
         # current token was already attended via k_cur, so the column only
         # becomes visible from step i+1 on
@@ -973,13 +984,14 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
         vbuf = jax.lax.dynamic_update_slice(
             vbuf, kvs["v"][:, :, :, None, :].astype(bdt), (0, 0, 0, i, 0))
         valid = jax.lax.dynamic_update_slice(valid, active[:, None], (0, i))
-        adv = adv + active.astype(jnp.int32)
-        return i + 1, active, logits, key, buf, kbuf, vbuf, valid, adv
+        adv = adv + adv_step
+        return i + 1, active, logits, key, buf, kbuf, vbuf, valid, adv, conv
 
-    i, active, last, key, buf, kbuf, vbuf, valid, adv = jax.lax.while_loop(
+    (i, active, last, key, buf, kbuf, vbuf, valid, adv,
+     conv) = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), active, last_logits, key, buf0, kbuf0, vbuf0,
-         valid0, adv0))
+         valid0, adv0, conv0))
 
     # ONE merge scatter per chunk: slot b's column j targets position
     # fill0[b] + j while j < adv[b], else parks at s_max - 1 (invisible:
@@ -1002,6 +1014,8 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
         upd = jnp.moveaxis(jnp.moveaxis(upd, 1, 0), 3, 1)
         new_cache[name] = cache[name].at[:, b_idx, :, tpos].set(
             upd.astype(cache[name].dtype))
+    if hybrid:
+        new_cache["conv"] = conv
     new_cache["fill"] = fill0 + adv
     return buf, active, last, new_cache, key
 

@@ -305,6 +305,8 @@ class ContinuousBatcher:
         t0 = time.perf_counter()
         for audio_dev, items in self._pending:
             audio_np = np.asarray(audio_dev)
+            if audio_np.dtype == np.int16:
+                audio_np = audio_np.astype(np.float32) / 32767.0
             for req, row, off, n in items:
                 if req.done or n <= 0:
                     continue

@@ -259,26 +259,10 @@ def _fused_batch_step(llm_params, codec_params, last_logits, cache, active,
             emit, target, audio)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _codec_spec_vmapped(params, codes_b, embs_b, cfg, n_real_b):
-    """vmapped codec decode: codes [B, T], embs [B, D], n_real [B]."""
-    return jax.vmap(
-        lambda c, e, n: codec_decode_spec(params, c, e, cfg, n_real=n),
-        in_axes=(0, 0, 0))(codes_b, embs_b, n_real_b)
-
-
-@partial(jax.jit, static_argnames=("hop", "frames_per_code"))
-def _spec_audio_vmapped(lm_b, ph_b, cos_b, sin_b, hann, hop, frames_per_code,
-                        n_real_b):
-    return jax.vmap(
-        lambda lm, ph, n: spec_to_audio_bucketed(
-            lm, ph, cos_b, sin_b, hann, hop, frames_per_code, n),
-        in_axes=(0, 0, 0))(lm_b, ph_b, n_real_b)
-
-
-@partial(jax.jit, static_argnames=("cfg", "emit_len"))
+@partial(jax.jit, static_argnames=("cfg", "emit_len", "to_i16"))
 def _codec_audio_sliced_vmapped(params, codes_b, embs_b, cfg, n_real_b,
-                                starts_b, emit_len: int):
+                                starts_b, emit_len: int,
+                                to_i16: bool = False):
     """Batched codec decode returning ONLY each stream's emission slice:
     audio[b, starts[b] : starts[b] + emit_len].
 
@@ -297,9 +281,17 @@ def _codec_audio_sliced_vmapped(params, codes_b, embs_b, cfg, n_real_b,
             l, p, params["istft_cos_basis"], params["istft_sin_basis"],
             params["istft_hann"], cfg.hop_length, cfg.total_upsample, n),
         in_axes=(0, 0, 0))(lm, ph, n_real_b)
-    return jax.vmap(
+    out = jax.vmap(
         lambda a, s: jax.lax.dynamic_slice(a, (s,), (emit_len,)))(
             audio, starts_b)
+    if to_i16:
+        # int16 wire format: every sink is 16-bit PCM anyway (WAV writer,
+        # playback, HTTP streaming), so quantizing on device halves the
+        # transfer losslessly end-to-end (clamp-scale per wav-writer.cpp:
+        # 39-42 semantics)
+        out = jnp.clip(jnp.round(out * 32767.0), -32768, 32767).astype(
+            jnp.int16)
+    return out
 
 
 @partial(jax.jit, static_argnames=("new_len",))
@@ -383,6 +375,12 @@ class EngineConfig:
     # noise.  Default off so parity paths stay exact-f32; serving benches
     # turn it on.
     codec_fast: bool = False
+    # int16 wire format for batched emission slices: halves the
+    # device->host transfer (the measured serving codec cost); every sink
+    # is 16-bit PCM anyway, so end-to-end it is lossless (one extra
+    # round-trip quantization vs the float path, <= 1/32767 per sample).
+    # Default off so float-exact parity tests hold sample-for-sample.
+    i16_transfer: bool = False
 
 
 @dataclass
@@ -735,46 +733,6 @@ class TTSEngine:
             cfg.hop_length, cfg.total_upsample, n_real)
         return audio, T
 
-    def decode_codes_batch(self, codes_list: list, voices: list,
-                           profile: StreamProfile | None = None) -> list:
-        """Batched codec decode: all sequences padded to ONE bucket and
-        decoded in a single vmapped dispatch (the continuous batcher's
-        emission path — N concurrent streams cost one device round-trip
-        instead of N).  Returns a list of float PCM arrays."""
-        assert len(codes_list) == len(voices)
-        if not codes_list:
-            return []
-        cfg = self.codec_cfg
-        lens = [len(c) for c in codes_list]
-        bucket = _bucket_len(max(lens), self.config.code_bucket)
-        B = len(codes_list)
-        padded = np.zeros((B, bucket), np.int32)
-        embs = np.zeros((B, cfg.adaln_dim), np.float32)
-        for i, (c, v) in enumerate(zip(codes_list, voices)):
-            padded[i, :lens[i]] = np.asarray(c, np.int32)
-            embs[i] = v.embedding
-        n_real = jnp.asarray(lens, jnp.int32)
-
-        t0 = time.perf_counter()
-        lm, ph = _codec_spec_vmapped(self.codec_params, jnp.asarray(padded),
-                                     jnp.asarray(embs), cfg, n_real)
-        if profile:
-            lm.block_until_ready()
-        t1 = time.perf_counter()
-        audio = _spec_audio_vmapped(
-            lm, ph, self.codec_params["istft_cos_basis"],
-            self.codec_params["istft_sin_basis"],
-            self.codec_params["istft_hann"],
-            cfg.hop_length, cfg.total_upsample, n_real)
-        audio = np.asarray(audio)
-        t2 = time.perf_counter()
-        if profile:
-            profile.codec_sec += t1 - t0
-            profile.istft_sec += t2 - t1
-            profile.decode_calls += 1
-            profile.decoded_codes += sum(lens)
-        return [audio[i, : lens[i] * cfg.samples_per_token] for i in range(B)]
-
     def decode_codes_batch_sliced_async(self, codes_list: list, voices: list,
                                         begins: list, ends: list):
         """Batched codec decode that dispatches ONLY each stream's emission
@@ -808,7 +766,8 @@ class TTSEngine:
             offs.append(int(b) - s)
         audio = _codec_audio_sliced_vmapped(
             self.codec_params, jnp.asarray(padded), jnp.asarray(embs), cfg,
-            jnp.asarray(lens, jnp.int32), jnp.asarray(starts, jnp.int32), E)
+            jnp.asarray(lens, jnp.int32), jnp.asarray(starts, jnp.int32), E,
+            self.config.i16_transfer)
         return audio, offs, n_samp
 
     def decode_codes_batch_sliced(self, codes_list: list, voices: list,
@@ -821,36 +780,13 @@ class TTSEngine:
         audio, offs, n_samp = self.decode_codes_batch_sliced_async(
             codes_list, voices, begins, ends)
         a = np.asarray(audio)
+        if a.dtype == np.int16:
+            a = a.astype(np.float32) / 32767.0
         if profile:
             profile.codec_sec += time.perf_counter() - t0
             profile.decode_calls += 1
             profile.decoded_codes += sum(len(c) for c in codes_list)
         return [a[i, offs[i]:offs[i] + n_samp[i]] for i in range(len(offs))]
-
-    def decode_codes_batch_async(self, codes_list: list, voices: list):
-        """Batched codec decode dispatched WITHOUT materialization (the
-        pipelined batcher's emission path — the vmapped decode runs on the
-        codec device while the next LLM chunk runs).  Returns
-        (audio_device_array [B, bucket*spt], lens)."""
-        assert len(codes_list) == len(voices)
-        cfg = self.codec_cfg
-        lens = [len(c) for c in codes_list]
-        bucket = _bucket_len(max(lens), self.config.code_bucket)
-        B = len(codes_list)
-        padded = np.zeros((B, bucket), np.int32)
-        embs = np.zeros((B, cfg.adaln_dim), np.float32)
-        for i, (c, v) in enumerate(zip(codes_list, voices)):
-            padded[i, :lens[i]] = np.asarray(c, np.int32)
-            embs[i] = v.embedding
-        n_real = jnp.asarray(lens, jnp.int32)
-        lm, ph = _codec_spec_vmapped(self.codec_params, jnp.asarray(padded),
-                                     jnp.asarray(embs), cfg, n_real)
-        audio = _spec_audio_vmapped(
-            lm, ph, self.codec_params["istft_cos_basis"],
-            self.codec_params["istft_sin_basis"],
-            self.codec_params["istft_hann"],
-            cfg.hop_length, cfg.total_upsample, n_real)
-        return audio, lens
 
     def _stream_fused(self, voice: VoiceModel, text: str, emit_range,
                       timed_callback, options: Options,

@@ -339,3 +339,49 @@ def test_pipeline_depth_slot_reuse_liveness(engine):
         # no codes at all (reference failure semantics) but must finish
         assert totals[rid] <= 30 * spt
         assert req.n_tokens <= 30 + batcher.chunk_steps
+
+
+def test_i16_transfer_close_to_float(tmp_path_factory):
+    """EngineConfig.i16_transfer quantizes emission slices to int16 on
+    device; batched synthesis must match the float path within one LSB of
+    16-bit PCM per sample."""
+    d = tmp_path_factory.mktemp("i16models")
+    codec_path = str(d / "codec.gguf")
+    llm_path = str(d / "llm.gguf")
+    codec_cfg = write_synthetic_codec(codec_path, n_codes=64, seed=3)
+    write_synthetic_llm(llm_path, seed=5, n_speech=64)
+    emb_path = str(d / "voice.emb.gguf")
+    rng = np.random.default_rng(11)
+    write_voice_embedding(emb_path,
+                          rng.standard_normal(codec_cfg.adaln_dim) * 0.3)
+
+    outs = {}
+    for i16 in (False, True):
+        engine = TTSEngine(EngineConfig(
+            model_path=llm_path, codec_path=codec_path, max_tokens=24,
+            llm_dtype="float32", prompt_bucket=32, code_bucket=16,
+            i16_transfer=i16))
+        voice = VoiceModel(emb_path)
+        batcher = ContinuousBatcher(engine, n_slots=2, chunk_steps=8)
+        got = {}
+
+        def cb_for(i):
+            got[i] = []
+
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    got[i].append(samples)
+                return True
+            return cb
+
+        for i in range(2):
+            batcher.submit(f"utterance {i}", voice, cb_for(i),
+                           Options(max_tokens=24, temperature=0.0))
+        batcher.run_until_done(max_iters=200)
+        outs[i16] = [np.concatenate(got[i]) if got[i] else np.zeros(0)
+                     for i in range(2)]
+
+    for a, b in zip(outs[False], outs[True]):
+        assert a.shape == b.shape
+        if a.size:
+            assert np.abs(a - b).max() <= 1.01 / 32767.0

@@ -237,3 +237,56 @@ def test_lfm2_fused_streaming(tmp_path, rng):
         voice, "lfm2 stream", lambda s, sr, last: (chunks.append(s) if s is not None else None) or True,
         options=Options(max_tokens=60, temperature=1.0, seed=3))
     assert ok or not chunks
+
+
+def test_lfm2_generate_chunk_batched_matches_stepwise(tmp_path, rng):
+    """The unified chunk-buffered batched generator must reproduce greedy
+    stepwise decode for hybrid models too: attention layers ride the chunk
+    buffer, the gated short-conv state rides the loop carry."""
+    from miotts_tpu.models.llm import llm_generate_chunk_batched
+    params, cfg = _build(tmp_path)
+    B, ctx, W = 3, 64, 6
+    toks = rng.integers(0, cfg.n_vocab, (B, 8)).astype(np.int32)
+    n_real = jnp.asarray([5, 8, 3], jnp.int32)
+
+    def fresh():
+        cache = init_kv_cache(cfg, B, ctx, dtype=jnp.float32)
+        return llm_prefill(params, jnp.asarray(toks), n_real, cache, cfg)
+
+    last_ref, cache_ref = fresh()
+    ref_toks = []
+    for _ in range(W):
+        t = jnp.argmax(last_ref, -1).astype(jnp.int32)
+        ref_toks.append(np.asarray(t))
+        last_ref, cache_ref = llm_decode_step(params, t, cache_ref, cfg)
+    ref_toks = np.stack(ref_toks, 1)
+
+    last0, cache0 = fresh()
+    buf, active, last, cache, _ = llm_generate_chunk_batched(
+        params, last0, cache0, jnp.asarray([True] * B),
+        jax.random.PRNGKey(0), jnp.float32(0.0),
+        jnp.asarray([-7], jnp.int32), cfg, W)
+    np.testing.assert_array_equal(np.asarray(buf), ref_toks)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(last_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache["fill"]),
+                                  np.asarray(n_real) + W)
+    np.testing.assert_allclose(np.asarray(cache["conv"]),
+                               np.asarray(cache_ref["conv"]),
+                               rtol=2e-4, atol=2e-4)
+    kr, kb = np.asarray(cache_ref["k"]), np.asarray(cache["k"])
+    for b in range(B):
+        f = int(n_real[b]) + W
+        np.testing.assert_allclose(kb[:, b, :, :f], kr[:, b, :, :f],
+                                   rtol=2e-4, atol=2e-4)
+
+    # attn_len bucket parity on the hybrid path
+    last0, cache0 = fresh()
+    buf2, _, _, cache2, _ = llm_generate_chunk_batched(
+        params, last0, cache0, jnp.asarray([True] * B),
+        jax.random.PRNGKey(0), jnp.float32(0.0),
+        jnp.asarray([-7], jnp.int32), cfg, W, 32)
+    np.testing.assert_array_equal(np.asarray(buf2), ref_toks)
+    np.testing.assert_allclose(np.asarray(cache2["conv"]),
+                               np.asarray(cache_ref["conv"]),
+                               rtol=2e-4, atol=2e-4)
