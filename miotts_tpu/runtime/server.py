@@ -110,6 +110,14 @@ def _make_handler(server: TTSServer):
                                         "sample_rate": engine.sample_rate})
             if self.path == "/voices":
                 return self._json(200, {"voices": sorted(server.voices)})
+            if self.path == "/stats":
+                # serving observability: the batched path's analogue of the
+                # reference's stream_bench.* metric lines
+                st = dict(server.batcher.stage)
+                st.update(pending=server.batcher.pending,
+                          active_slots=int(np.sum(server.batcher.active)),
+                          n_slots=server.batcher.n_slots)
+                return self._json(200, st)
             return self._json(404, {"error": "not found"})
 
         def do_POST(self):

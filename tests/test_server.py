@@ -120,3 +120,14 @@ def test_concurrent_requests(server):
         t.join(timeout=180)
     assert len(results) == 4
     assert all(s == 200 for s, _ in results)
+
+
+def test_stats_endpoint(server):
+    c = _conn(server)
+    c.request("GET", "/stats")
+    r = c.getresponse()
+    assert r.status == 200
+    body = json.loads(r.read())
+    for key in ("chunks", "decodes", "prefills", "llm_wait_sec",
+                "codec_sync_sec", "pending", "active_slots", "n_slots"):
+        assert key in body
