@@ -780,38 +780,6 @@ def llm_decode_step(params, token, cache, cfg: LLMConfig):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def llm_prefill_slot(params: dict, tokens: jax.Array, n_real: jax.Array,
-                     cache: dict, slot: jax.Array, cfg: LLMConfig):
-    """Prefill ONE sequence into slot `slot` of a batched cache.
-
-    The continuous-batching scheduler admits new utterances into freed slots
-    without touching the other sequences (the reference has no cross-request
-    state at all — one llama_context per call, SURVEY.md §2.3).
-
-    tokens: [1, S_bucket]; n_real: scalar; slot: scalar i32.
-    Returns (last_logits [1, V], cache)."""
-    B = cache["fill"].shape[0]
-
-    def take(leaf):  # [L, B, ...] -> [L, 1, ...]
-        return jax.lax.dynamic_slice_in_dim(leaf, slot, 1, axis=1)
-
-    sub = {k: take(v) for k, v in cache.items() if k != "fill"}
-    sub["fill"] = jnp.zeros((1,), jnp.int32)
-    S = tokens.shape[1]
-    pos = jnp.broadcast_to(jnp.arange(S), (1, S))
-    logits, sub = llm_forward(params, tokens, pos, sub, cfg,
-                              advance=n_real.astype(jnp.int32)[None])
-
-    def put(dst, src):
-        return jax.lax.dynamic_update_slice_in_dim(dst, src, slot, axis=1)
-
-    new_cache = {k: put(cache[k], sub[k]) for k in cache if k != "fill"}
-    new_cache["fill"] = cache["fill"].at[slot].set(n_real.astype(jnp.int32))
-    last = jax.lax.dynamic_slice_in_dim(logits, n_real - 1, 1, axis=1)[:, 0]
-    return last, new_cache
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def llm_prefill_slots(params: dict, tokens: jax.Array, n_real: jax.Array,
                       cache: dict, slots: jax.Array, cfg: LLMConfig):
     """Prefill SEVERAL sequences into slots of a batched cache with ONE
@@ -823,16 +791,26 @@ def llm_prefill_slots(params: dict, tokens: jax.Array, n_real: jax.Array,
     Returns (last_logits [A, V], cache)."""
     A, S = tokens.shape
     # fresh sub-cache: prefill rewrites positions [0, S) and fill masks the
-    # rest, so the admitted slots' old contents never matter
-    sub = {k: jnp.zeros((v.shape[0], A) + v.shape[2:], v.dtype)
-           for k, v in cache.items() if k != "fill"}
+    # rest, so the admitted slots' old contents never matter.  Attention
+    # buffers are sized to the PROMPT bucket, not ctx_len — prefill only
+    # touches [0, S), and a full-ctx zero sub-cache costs GBs of HBM
+    # traffic per admission wave at high slot counts.
+    def sub_leaf(k, v):
+        if k == "conv":
+            return jnp.zeros((v.shape[0], A) + v.shape[2:], v.dtype)
+        return jnp.zeros(v.shape[:1] + (A,) + v.shape[2:3] + (S,)
+                         + v.shape[4:], v.dtype)
+    sub = {k: sub_leaf(k, v) for k, v in cache.items() if k != "fill"}
     sub["fill"] = jnp.zeros((A,), jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(S), (A, S))
     logits, sub = llm_forward(params, tokens, pos, sub, cfg,
                               advance=n_real.astype(jnp.int32))
 
-    new_cache = {k: cache[k].at[:, slots].set(sub[k])
-                 for k in cache if k != "fill"}
+    def put(k):
+        if k == "conv":
+            return cache[k].at[:, slots].set(sub[k])
+        return cache[k].at[:, slots, :, :S].set(sub[k])
+    new_cache = {k: put(k) for k in cache if k != "fill"}
     new_cache["fill"] = cache["fill"].at[slots].set(n_real.astype(jnp.int32))
     last = jnp.take_along_axis(logits, (n_real - 1)[:, None, None],
                                axis=1)[:, 0]
