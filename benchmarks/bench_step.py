@@ -57,9 +57,13 @@ def patched(name):
                   jnp.zeros((q.shape[0], q.shape[1],
                              q.shape[2] * q.shape[3]), q.dtype))
         elif name == "no_qdot":
+            # stub must stay DATA-DEPENDENT on x: a zeros() stub makes every
+            # downstream activation constant and XLA dead-code-eliminates
+            # the whole step (measured 0.01 ms/token at batch 32)
             real = llm_mod.qdot
             patch("qdot", lambda x, w:
-                  jnp.zeros((*x.shape[:-1], w.shape[-2]), x.dtype)
+                  jnp.broadcast_to(jnp.mean(x, axis=-1, keepdims=True),
+                                   (*x.shape[:-1], w.shape[-2])).astype(x.dtype)
                   if hasattr(w, "values") else real(x, w))
         elif name == "no_norms":
             patch("_rms_norm", lambda x, w, eps: x)
