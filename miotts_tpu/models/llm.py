@@ -912,9 +912,17 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
     fill exceeds attn_len only yields garbage logits for that parked slot,
     which are never used.)
 
+    `temperature` may be a scalar or per-slot [B]; `key` may be one PRNG
+    key (shared, split once per step) or per-slot keys [B, 2].  Per-slot
+    keys advance ONLY while their slot is active — a request seeded with
+    PRNGKey(seed) consumes exactly one split per generated token, so its
+    sample sequence is reproducible regardless of batch composition and
+    matches the single-stream engine's per-token key discipline.
+
     last_logits: [B, V]; active: bool [B].
     Returns (buf [B, n_steps] i32, active [B], last_logits, cache, key)."""
     B = last_logits.shape[0]
+    per_slot_key = key.ndim == 2
     buf0 = jnp.full((B, n_steps), -1, jnp.int32)
 
     hybrid = "conv" in cache
@@ -940,7 +948,12 @@ def llm_generate_chunk_batched(params: dict, last_logits: jax.Array,
 
     def body(carry):
         i, active, last, key, buf, kbuf, vbuf, valid, adv, conv = carry
-        key, sub = jax.random.split(key)
+        if per_slot_key:
+            splits = jax.vmap(jax.random.split)(key)              # [B, 2, 2]
+            sub = splits[:, 1]
+            key = jnp.where(active[:, None], splits[:, 0], key)
+        else:
+            key, sub = jax.random.split(key)
         tok = sample_token(last, temperature, sub)                # [B]
         is_stop = jnp.any(tok[:, None] == stop_ids[None, :], axis=-1)
         active = jnp.logical_and(active, jnp.logical_not(is_stop))
@@ -1052,12 +1065,25 @@ def sample_token(logits: jax.Array, temperature: jax.Array,
                  key: jax.Array) -> jax.Array:
     """Temperature + categorical sampling on device; temperature <= 0 means
     greedy.  logits: [B, V] f32 -> [B] i32.  (The reference's sampler chain
-    is exactly temp + seeded dist, test-to-speech.cpp:127-130.)"""
+    is exactly temp + seeded dist, test-to-speech.cpp:127-130.)
+
+    `temperature` may be a scalar or per-row [B] (per-request sampling in
+    batched serving); `key` may be one PRNG key (split across rows) or
+    per-row keys [B, 2]."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(temperature, 1e-6)
-    keys = jax.random.split(key, logits.shape[0])
+    t = jnp.asarray(temperature, jnp.float32)
+    scaled = logits / jnp.maximum(t[:, None] if t.ndim == 1 else t, 1e-6)
+    k = jnp.asarray(key)
+    if k.ndim == 2:
+        # per-row keys: derive each row's sampling key exactly like the
+        # single-key path does for its row 0 (split then take), so a
+        # batched slot seeded with PRNGKey(s) samples the same tokens as a
+        # single-stream run seeded with s
+        keys = jax.vmap(lambda kk: jax.random.split(kk, 1)[0])(k)
+    else:
+        keys = jax.random.split(k, logits.shape[0])
     sampled = jax.vmap(lambda k, l: jax.random.categorical(k, l))(keys, scaled)
-    return jnp.where(temperature > 0, sampled.astype(jnp.int32), greedy)
+    return jnp.where(t > 0, sampled.astype(jnp.int32), greedy)
 
 
 @partial(jax.jit, static_argnames=("top_k",))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..gguf import GGUFWriter, GGML_F32, GGML_I32
+from ..gguf import GGUFWriter, GGML_F32, GGML_I32, GGML_Q6_K
 from .codec import CodecConfig
 from .llm import LLMConfig
 
@@ -199,11 +199,16 @@ def synthetic_llm_config(n_speech: int = 64, tiny: bool = True,
 def write_synthetic_llm(path: str, cfg: LLMConfig | None = None,
                         quant_type: int = GGML_F32, seed: int = 0,
                         n_speech: int = 64,
-                        weights: dict | None = None) -> LLMConfig:
+                        weights: dict | None = None,
+                        mixed_k: bool = False) -> LLMConfig:
     """Write an LLM GGUF (llama.cpp tensor naming + tokenizer KVs).
 
     `weights`: optional {gguf_name: np.ndarray} overriding random init (used
-    by the HF-parity test to export a torch model's weights)."""
+    by the HF-parity test to export a torch model's weights).
+
+    `mixed_k`: reproduce llama.cpp's Q4_K_M per-tensor mix — attn_v and
+    ffn_down in Q6_K while the rest uses `quant_type` — so loader fusion
+    sees heterogeneous formats like real downloaded files."""
     if cfg is None:
         cfg = synthetic_llm_config(n_speech=n_speech)
     else:
@@ -274,11 +279,13 @@ def write_synthetic_llm(path: str, cfg: LLMConfig | None = None,
                          get(p + "ffn_norm.weight", cfg.dim, ones=True), GGML_F32)
             mat(p + "ffn_gate.weight", cfg.ff_dim, cfg.dim)
             mat(p + "ffn_up.weight", cfg.ff_dim, cfg.dim)
-            mat(p + "ffn_down.weight", cfg.dim, cfg.ff_dim)
+            mat(p + "ffn_down.weight", cfg.dim, cfg.ff_dim,
+            qtype=GGML_Q6_K if mixed_k else quant_type)
             continue
         mat(p + "attn_q.weight", qd, cfg.dim)
         mat(p + "attn_k.weight", kvd, cfg.dim)
-        mat(p + "attn_v.weight", kvd, cfg.dim)
+        mat(p + "attn_v.weight", kvd, cfg.dim,
+            qtype=GGML_Q6_K if mixed_k else quant_type)
         mat(p + "attn_output.weight", cfg.dim, qd)
         if cfg.qkv_bias:
             w.add_tensor(p + "attn_q.bias", get(p + "attn_q.bias", qd), GGML_F32)
@@ -293,7 +300,8 @@ def write_synthetic_llm(path: str, cfg: LLMConfig | None = None,
                      get(p + "ffn_norm.weight", cfg.dim, ones=True), GGML_F32)
         mat(p + "ffn_gate.weight", cfg.ff_dim, cfg.dim)
         mat(p + "ffn_up.weight", cfg.ff_dim, cfg.dim)
-        mat(p + "ffn_down.weight", cfg.dim, cfg.ff_dim)
+        mat(p + "ffn_down.weight", cfg.dim, cfg.ff_dim,
+            qtype=GGML_Q6_K if mixed_k else quant_type)
 
     w.add_tensor("output_norm.weight",
                  get("output_norm.weight", cfg.dim, ones=True), GGML_F32)

@@ -348,26 +348,56 @@ def qtensor_from_raw(raw: np.ndarray, ggml_type: int, rows: int, cols: int,
 def concat_qtensors(tensors: list) -> "QTensor | jax.Array":
     """Concatenate weights along the OUTPUT dim (for QKV / gate+up fusion).
 
-    Works for both dense [N, K] arrays and QTensors of identical group/K;
-    cuts kernel launches in the decode hot loop.  Any padding on the inputs
-    is stripped first so split points in the fused output are exact."""
+    Works for dense [N, K] arrays and for QTensors of equal K; cuts kernel
+    launches in the decode hot loop.  Any padding on the inputs is stripped
+    first so split points in the fused output are exact.
+
+    Heterogeneous QTensors are harmonized EXACTLY — real llama.cpp Q4_K_M
+    files mix formats per layer (Q6_K attn_v/ffn_down next to Q4_K): a
+    coarser quant group repeats its scales/mins down to the finest group
+    present, tensors without mins get zero mins when a sibling has them,
+    and a packed-nibble tensor is unpacked if its siblings aren't packed.
+    All three transforms leave the dequantized values bit-identical; the
+    cost is only a few % more scale bytes."""
     if all(isinstance(t, jax.Array) for t in tensors):
         return jnp.concatenate(tensors, axis=0)
-    assert all(isinstance(t, QTensor) for t in tensors), "mixed dense/quant fusion"
-    g = tensors[0].group
-    assert all(t.group == g for t in tensors)
-    has_mins = tensors[0].mins is not None
-    assert all((t.mins is not None) == has_mins for t in tensors)
+    if not all(isinstance(t, QTensor) for t in tensors):
+        raise ValueError("mixed dense/quantized fusion is not supported")
+    if (any(t.packed for t in tensors)
+            and not all(t.packed and t.group == tensors[0].group
+                        for t in tensors)):
+        tensors = [QTensor(values=t._unpacked_values().astype(jnp.int8),
+                           scales=t.scales, mins=t.mins, group=t.group,
+                           n_out=t.n_out) if t.packed else t
+                   for t in tensors]
+    g = min(t.group for t in tensors)
+    if any(t.group % g for t in tensors):
+        raise ValueError(f"incompatible quant groups "
+                         f"{[t.group for t in tensors]}")
+    has_mins = any(t.mins is not None for t in tensors)
     packed = tensors[0].packed
-    assert all(t.packed == packed for t in tensors)
 
     def unpad(a, t):
         n = t.n_out if t.n_out > 0 else a.shape[1]
         return a[:, :n]
 
+    def expand(a, t):
+        # repeat each group row so a group-`t.group` tensor reads exactly
+        # under the fused group size g
+        f = t.group // g
+        return jnp.repeat(a, f, axis=0) if f > 1 else a
+
+    def mins_of(t):
+        if t.mins is not None:
+            return expand(unpad(t.mins, t), t)
+        k = t.values.shape[0] * (2 if t.packed else 1)
+        n = t.n_out if t.n_out > 0 else t.values.shape[1]
+        return jnp.zeros((k // g, n), t.scales.dtype)
+
     values = jnp.concatenate([unpad(t.values, t) for t in tensors], axis=1)
-    scales = jnp.concatenate([unpad(t.scales, t) for t in tensors], axis=1)
-    mins = (jnp.concatenate([unpad(t.mins, t) for t in tensors], axis=1)
+    scales = jnp.concatenate([expand(unpad(t.scales, t), t) for t in tensors],
+                             axis=1)
+    mins = (jnp.concatenate([mins_of(t) for t in tensors], axis=1)
             if has_mins else None)
     n = values.shape[1]
     n_pad = (-n) % 128

@@ -113,11 +113,19 @@ class ContinuousBatcher:
         self.slot_req: list[Optional[Request]] = [None] * n_slots
         self.waiting: deque[Request] = deque()
         self._next_id = 0
-        self._key = jax.random.PRNGKey(engine.config.seed)
         self._stop_ids = jnp.asarray(
             [engine._eos_id, engine._im_end_id], jnp.int32)
         self._table = engine.code_table
-        self._temp = jnp.float32(engine.config.temperature)
+        # per-slot sampling state: each request samples with its own
+        # temperature and its own PRNG key seeded from options.seed
+        # (engine defaults when unset, like the single-stream _resolve);
+        # slot keys advance once per generated token inside the chunk, so
+        # a request's samples are reproducible regardless of batching and
+        # token-match a single-stream run at the same seed
+        self._slot_temp = jnp.full((n_slots,), engine.config.temperature,
+                                   jnp.float32)
+        self._slot_key = jax.random.split(
+            jax.random.PRNGKey(engine.config.seed), n_slots)
         # fused-step device state (rebuilt lazily from host mirrors)
         self._codes_buf = None
         self._codes_bucket = 0
@@ -196,6 +204,15 @@ class ContinuousBatcher:
             self.cache, jnp.asarray(slots), self.cfg)
         self.last_logits = self.last_logits.at[jnp.asarray(slots)].set(last)
         self._active_dev = self._active_dev.at[jnp.asarray(slots)].set(True)
+        temps = np.array([r.options.temperature if r.options.temperature >= 0
+                          else eng.config.temperature
+                          for _, r, _ in admit], np.float32)
+        keys = jnp.stack([jax.random.PRNGKey(
+            r.options.seed if r.options.seed >= 0 else eng.config.seed)
+            for _, r, _ in admit])
+        self._slot_temp = self._slot_temp.at[jnp.asarray(slots)].set(
+            jnp.asarray(temps))
+        self._slot_key = self._slot_key.at[jnp.asarray(slots)].set(keys)
         for slot, req, ids in admit:
             self.active[slot] = True
             self.slot_req[slot] = req
@@ -321,7 +338,6 @@ class ContinuousBatcher:
         self._admit()
         dispatched = False
         if np.any(self.active):
-            self._key, key = jax.random.split(self._key)
             # attention-length bucket: every active slot's fill stays under
             # fill_ub, so reading only the first attn_len cache positions
             # is exact.  Geometric buckets keep the jit-key count O(log n).
@@ -329,11 +345,11 @@ class ContinuousBatcher:
             attn_len = min(_bucket_len(need, 128), self.ctx_len)
             if attn_len >= self.ctx_len:
                 attn_len = 0                      # full cache — no slice
-            buf, self._active_dev, self.last_logits, self.cache, _ = \
-                llm_generate_chunk_batched(
+            (buf, self._active_dev, self.last_logits, self.cache,
+             self._slot_key) = llm_generate_chunk_batched(
                     self.engine.llm_params, self.last_logits, self.cache,
-                    self._active_dev, key, self._temp, self._stop_ids,
-                    self.cfg, self.chunk_steps, attn_len)
+                    self._active_dev, self._slot_key, self._slot_temp,
+                    self._stop_ids, self.cfg, self.chunk_steps, attn_len)
             self._fill_ub[self.active] += self.chunk_steps
             self._inflight.append((buf, self._active_dev,
                                    list(self.slot_req)))
@@ -365,6 +381,11 @@ class ContinuousBatcher:
                 continue
             toks = buf[slot]
             toks = toks[toks >= 0]
+            # truncate to the request's token budget (the device chunk is
+            # budget-blind; the single-stream path truncates identically,
+            # engine take=min(cnt, max_tok - n_gen))
+            budget = getattr(req, "_max_tokens", 10 ** 9) - req.n_tokens
+            toks = toks[:max(0, budget)]
             for tid in toks:
                 req.n_tokens += 1
                 code = table[tid] if 0 <= tid < len(table) else -1
@@ -491,11 +512,12 @@ class ContinuousBatcher:
             [getattr(r, "_max_tokens", 0) if r else 0 for r in self.slot_req],
             np.int32)
 
-        self._key, key = jax.random.split(self._key)
-        (buf, active_dev, self.last_logits, self.cache, key, self._codes_buf,
+        (buf, active_dev, self.last_logits, self.cache, self._slot_key,
+         self._codes_buf,
          _, _, emit_dev, target_dev, audio) = _fused_batch_step(
             eng.llm_params, eng.codec_params, self.last_logits, self.cache,
-            jnp.asarray(self.active), key, self._temp, self._stop_ids,
+            jnp.asarray(self.active), self._slot_key, self._slot_temp,
+            self._stop_ids,
             jnp.asarray(self._table), self._codes_buf, jnp.asarray(n_codes),
             jnp.asarray(committed), jnp.asarray(n_tok), jnp.asarray(max_toks),
             self._embs, self.cfg, eng.codec_cfg, self.chunk_steps,
@@ -551,27 +573,7 @@ class ContinuousBatcher:
         if begin >= end:
             return True
         req.committed = target
-        eng = self.engine
-        cfgE = eng.config
-        sr = eng.sample_rate
-        crossfade = min(sr * 3 // 100, 4096)
-        i, first = begin, True
-        while i < end:
-            n = min(cfgE.chunk_samples, end - i)
-            chunk = audio[i:i + n].copy()
-            if first and req.tail.size:
-                xf = min(req.tail.size, chunk.size)
-                a = (np.arange(xf, dtype=np.float32) + 1.0) / (xf + 1.0)
-                chunk[:xf] = (1.0 - a) * req.tail[:xf] + a * chunk[:xf]
-            req.tail = chunk[-crossfade:].copy() if n >= crossfade else chunk.copy()
-            if req.first_audio_at < 0:
-                req.first_audio_at = time.perf_counter()
-            if not req.callback(chunk, sr, False):
-                return False
-            req.emitted_samples += n
-            i += n
-            first = False
-        return True
+        return self._emit_samples(req, audio, begin, end, False)
 
     def run_until_done(self, max_iters: int = 10 ** 6) -> None:
         it = 0

@@ -32,8 +32,8 @@ import numpy as np
 from ..gguf import GGUFReader, load_voice_embedding
 from ..models.codec import CodecConfig, codec_decode_spec, load_codec_params
 from ..models.llm import (
-    LLMConfig, init_kv_cache, llm_decode_step, llm_generate_chunk,
-    llm_prefill, load_llm_params, sample_token,
+    LLMConfig, init_kv_cache, llm_decode_step, llm_forward,
+    llm_generate_chunk, llm_prefill, load_llm_params, sample_token,
 )
 from ..ops.istft import spec_to_audio_bucketed
 from ..text import build_prompt, normalize_tts_text, parse_speech_tokens
@@ -80,9 +80,6 @@ def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
     decoded window for the host's emit range; `flush` signals the
     device-side final flush covering [target-or-begin, n_codes).
     """
-    from ..models.codec import codec_decode_spec
-    from ..models.llm import llm_decode_step, sample_token
-
     if win_slide:
         # sliding-window mode: drop already-committed codes from the FRONT
         # of the fixed-size buffer when the coming chunk would overflow it
@@ -196,7 +193,6 @@ def _fused_batch_step(llm_params, codec_params, last_logits, cache, active,
     Returns (tok_buf [B, n_steps], active, last, cache, key, codes_buf,
     n_codes, n_tokens, emit [B], target [B], audio [B, bucket*spt]).
     """
-    from ..models.llm import llm_forward, sample_token
 
     B = last_logits.shape[0]
     buf0 = jnp.full((B, n_steps), -1, jnp.int32)
@@ -208,7 +204,12 @@ def _fused_batch_step(llm_params, codec_params, last_logits, cache, active,
     def body(carry):
         (i, active, last, cache, key, buf, codes_buf, n_codes,
          n_tokens) = carry
-        key, sub = jax.random.split(key)
+        if key.ndim == 2:   # per-slot keys: advance only while active
+            splits = jax.vmap(jax.random.split)(key)          # [B, 2, 2]
+            sub = splits[:, 1]
+            key = jnp.where(active[:, None], splits[:, 0], key)
+        else:
+            key, sub = jax.random.split(key)
         tok = sample_token(last, temperature, sub)            # [B]
         is_stop = jnp.any(tok[:, None] == stop_ids[None, :], axis=-1)
         active = active & (~is_stop) & (n_tokens < max_toks)
@@ -300,6 +301,16 @@ def _grow_buf(buf, new_len: int):
     device-only op, so the dispatch pipeline never has to drain or upload
     the host mirror at a rebucket point."""
     return jnp.zeros((new_len,), buf.dtype).at[:buf.shape[0]].set(buf)
+
+
+def _sync(x) -> None:
+    """Force completion of the computation producing `x` before returning.
+    On the relay-tunneled TPU runtime `block_until_ready` can return BEFORE
+    execution finishes (measured; CLAUDE.md), which would misattribute
+    stage timings to the next synchronous fetch — fetching one element
+    cannot return early.  Costs one tiny device->host transfer, so it is
+    only used on profile-gated paths."""
+    jax.device_get(x.ravel()[0])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -607,8 +618,8 @@ class TTSEngine:
         cache = dict(self._cache, fill=jnp.zeros((1,), jnp.int32))
         last, cache = llm_prefill(self.llm_params, jnp.asarray(toks),
                                   jnp.asarray([n], jnp.int32), cache, cfg)
-        last.block_until_ready()
         if profile:
+            _sync(last)
             profile.prefill_sec += time.perf_counter() - t0
 
         # Device-side chunked generation: the sample->stop-check->decode loop
@@ -678,7 +689,7 @@ class TTSEngine:
         bucket = _bucket_len(T, self.config.code_bucket)
         padded = np.zeros(bucket, np.int32)
         padded[:T] = codes
-        emb = jnp.asarray(voice.embedding, jnp.float32)
+        emb = voice.device_embedding()
         cfg = self.codec_cfg
 
         n_real = jnp.asarray(T, jnp.int32)
@@ -687,7 +698,7 @@ class TTSEngine:
             self.codec_params, jnp.asarray(padded), emb, cfg, n_real=n_real)
         if profile:
             # only force the intermediate sync when stage timing is wanted
-            log_mag.block_until_ready()
+            _sync(log_mag)
         t1 = time.perf_counter()
 
         audio = spec_to_audio_bucketed(
@@ -721,7 +732,7 @@ class TTSEngine:
         bucket = _bucket_len(T, self.config.code_bucket)
         padded = np.zeros(bucket, np.int32)
         padded[:T] = codes
-        emb = jnp.asarray(voice.embedding, jnp.float32)
+        emb = voice.device_embedding()
         cfg = self.codec_cfg
         n_real = jnp.asarray(T, jnp.int32)
         lm, ph = codec_decode_spec(self.codec_params, jnp.asarray(padded),
@@ -820,7 +831,7 @@ class TTSEngine:
         cache = dict(self._cache, fill=jnp.zeros((1,), jnp.int32))
         last, cache = llm_prefill(self.llm_params, jnp.asarray(toks),
                                   jnp.asarray([n], jnp.int32), cache, cfg)
-        last.block_until_ready()
+        _sync(last)
         profile.prefill_sec += time.perf_counter() - t0
 
         key = jax.random.PRNGKey(seed)

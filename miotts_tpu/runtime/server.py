@@ -39,6 +39,9 @@ class TTSServer:
         self.voices = voices
         self.default_voice = default_voice or next(iter(voices), None)
         self.batcher = ContinuousBatcher(engine, n_slots=n_slots)
+        # per-request chunk-queue capacity (~24 s of audio at the default
+        # 4096-sample chunks); a client further behind than this is dead
+        self.queue_cap = 256
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._scheduler, daemon=True)
@@ -59,31 +62,53 @@ class TTSServer:
                 time.sleep(0.005)
 
     def submit(self, text: str, voice_name: str | None,
-               options: Options) -> "queue.Queue":
-        """Submit a request; returns a queue yielding (samples|None, is_last)."""
+               options: Options) -> "_StreamHandle":
+        """Submit a request; returns a handle whose queue yields
+        (samples|None, is_last)."""
         vname = voice_name or self.default_voice
         if vname not in self.voices:
             raise KeyError(f"unknown voice '{vname}'")
-        out: queue.Queue = queue.Queue(maxsize=256)
-        state = {"final_sent": False}
+        h = _StreamHandle(self.queue_cap)
 
+        # The callback runs on the scheduler thread under self._lock, so it
+        # must NEVER block: a dead or hopelessly slow client (queue full =
+        # ~24 s of audio backlog) cancels its own request by returning
+        # False instead of stalling every other stream.
         def cb(samples, sr, is_last):
             if is_last:
-                state["final_sent"] = True
-            out.put((None if samples is None else np.asarray(samples), is_last))
+                h.final_sent = True
+            if h.abandoned:
+                return False
+            try:
+                h.q.put_nowait(
+                    (None if samples is None else np.asarray(samples), is_last))
+            except queue.Full:
+                h.abandoned = True
+                return False
             return True
 
         def on_finish(req):
             # a request may finish without a final callback (e.g. zero
             # speech codes generated); always release the waiting handler
-            if not state["final_sent"]:
-                state["final_sent"] = True
-                out.put((None, True))
-
+            if not h.final_sent:
+                h.final_sent = True
+                try:
+                    h.q.put_nowait((None, True))
+                except queue.Full:
+                    pass  # handler is gone; nothing is waiting
         with self._lock:
             self.batcher.submit(text, self.voices[vname], cb, options,
                                 on_finish=on_finish)
-        return out
+        return h
+
+
+class _StreamHandle:
+    """Per-request bridge between the scheduler thread and a handler thread."""
+
+    def __init__(self, maxsize: int = 256):
+        self.q: queue.Queue = queue.Queue(maxsize=maxsize)
+        self.abandoned = False   # handler died / stopped draining
+        self.final_sent = False
 
 
 def _make_handler(server: TTSServer):
@@ -126,48 +151,61 @@ def _make_handler(server: TTSServer):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                text = req["text"]
-            except (KeyError, json.JSONDecodeError) as e:
+                if not isinstance(req, dict):
+                    raise TypeError("body must be a JSON object")
+                text = str(req["text"])
+                options = Options(
+                    temperature=float(req.get("temperature", -1.0)),
+                    max_tokens=int(req.get("max_tokens", -1)),
+                    seed=int(req.get("seed", -1)),
+                )
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 return self._json(400, {"error": f"bad request: {e}"})
 
-            options = Options(
-                temperature=float(req.get("temperature", -1.0)),
-                max_tokens=int(req.get("max_tokens", -1)),
-                seed=int(req.get("seed", -1)),
-            )
             fmt = req.get("format", "wav")
             try:
-                chunks_q = server.submit(text, req.get("voice"), options)
+                handle = server.submit(text, req.get("voice"), options)
             except KeyError as e:
                 return self._json(400, {"error": str(e)})
+            chunks_q = handle.q
 
             sr = engine.sample_rate
             if fmt == "pcm":
-                # chunked streaming of s16le PCM as audio is committed
-                self.send_response(200)
-                self.send_header("Content-Type",
-                                 f"audio/L16;rate={sr};channels=1")
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
-                while True:
-                    samples, is_last = chunks_q.get()
-                    if samples is not None and len(samples):
-                        pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
-                        self.wfile.write(f"{len(pcm):X}\r\n".encode())
-                        self.wfile.write(pcm + b"\r\n")
-                    if is_last:
-                        break
-                self.wfile.write(b"0\r\n\r\n")
+                # chunked streaming of s16le PCM as audio is committed; a
+                # client disconnect abandons the handle so the scheduler's
+                # next callback cancels the request instead of decoding on
+                try:
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     f"audio/L16;rate={sr};channels=1")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    while True:
+                        samples, is_last = chunks_q.get()
+                        if samples is not None and len(samples):
+                            pcm = (np.clip(samples, -1, 1)
+                                   * 32767).astype("<i2").tobytes()
+                            self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                            self.wfile.write(pcm + b"\r\n")
+                        if is_last:
+                            break
+                    self.wfile.write(b"0\r\n\r\n")
+                finally:
+                    handle.abandoned = True
                 return
 
             # buffered WAV
             parts = []
-            while True:
-                samples, is_last = chunks_q.get()
-                if samples is not None:
-                    parts.append(samples)
-                if is_last:
-                    break
+            try:
+                while True:
+                    samples, is_last = chunks_q.get()
+                    if samples is not None:
+                        parts.append(samples)
+                    if is_last:
+                        break
+            finally:
+                handle.abandoned = True
             audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
             import io
             import struct

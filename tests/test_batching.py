@@ -385,3 +385,46 @@ def test_i16_transfer_close_to_float(tmp_path_factory):
         assert a.shape == b.shape
         if a.size:
             assert np.abs(a - b).max() <= 1.01 / 32767.0
+
+
+def test_per_request_seed_and_temperature(engine):
+    """Batched serving honors per-request Options: a request's sample
+    sequence is a function of its own seed (reproducible across runs and
+    batch compositions, independent of neighbors), and temperature=0 slots
+    decode greedily."""
+    eng, voice = engine
+
+    def run(specs):
+        batcher = ContinuousBatcher(eng, n_slots=4, chunk_steps=10)
+        codes = {}
+        for i, (seed, temp) in enumerate(specs):
+            batcher.submit(
+                "the same text", voice, lambda *a: True,
+                Options(max_tokens=30, temperature=temp, seed=seed),
+                on_finish=lambda r, i=i: codes.__setitem__(i, list(r.codes)))
+        batcher.run_until_done(max_iters=300)
+        assert len(codes) == len(specs)
+        return codes
+
+    a = run([(7, 1.0), (7, 1.0), (9, 1.0), (7, 0.0)])
+    assert a[0] == a[1]            # same seed+text, concurrent slots
+    assert a[0] != a[2]            # different seed
+    b = run([(7, 1.0)])            # different batch composition
+    assert b[0] == a[0]            # still reproducible
+    g = run([(1, 0.0), (2, 0.0)])  # greedy ignores the seed entirely
+    assert g[0] == g[1] == a[3]
+
+
+def test_max_tokens_budget_not_overshot(engine):
+    """options.max_tokens is exact in batched serving: the chunk is
+    budget-blind on device, so the host must truncate (single-stream
+    parity)."""
+    eng, voice = engine
+    batcher = ContinuousBatcher(eng, n_slots=1, chunk_steps=10)
+    seen = {}
+    batcher.submit("budget check", voice, lambda *a: True,
+                   Options(max_tokens=13, temperature=1.0, seed=3),
+                   on_finish=lambda r: seen.setdefault("req", r))
+    batcher.run_until_done(max_iters=100)
+    assert seen["req"].n_tokens <= 13
+    assert len(seen["req"].codes) <= 13

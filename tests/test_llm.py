@@ -528,3 +528,71 @@ def test_generate_chunk_batched_attn_len_bucket(tmp_path, rng):
     np.testing.assert_allclose(outs[0][1], outs[32][1], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(outs[0][2], outs[32][2], rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(outs[0][3], outs[32][3])
+
+
+def test_mixed_quant_fused_load_matches_unfused(tmp_path, rng):
+    """Q4_K_M-style files mix Q4_K with Q6_K per layer (attn_v, ffn_down);
+    load-time fusion must harmonize the formats and produce the same
+    logits as the unfused load."""
+    from miotts_tpu.gguf import GGML_Q4_K
+    from miotts_tpu.models.llm import _ARCH_TABLE
+
+    # K-quants need 256-elem super-blocks: every matmul in-dim % 256 == 0
+    cfg = LLMConfig(arch="qwen2", n_layers=2, dim=256, n_heads=4,
+                    n_kv_heads=2, head_dim=64, ff_dim=256,
+                    n_vocab=256 + 3 + 64, n_ctx=256, **_ARCH_TABLE["qwen2"])
+    path = str(tmp_path / "mixed.gguf")
+    write_synthetic_llm(path, cfg=cfg, quant_type=GGML_Q4_K, seed=2,
+                        mixed_k=True)
+    with GGUFReader(path) as r:
+        cfg = LLMConfig.from_gguf(r)
+        fused, _ = load_llm_params(r, cfg, dtype=jnp.float32, fuse=True)
+        plain, _ = load_llm_params(r, cfg, dtype=jnp.float32, fuse=False)
+    assert "wqkv" in fused["blocks"][0]          # fusion actually happened
+    assert "wqkv" not in plain["blocks"][0]
+
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, 6)), jnp.int32)
+    n = jnp.asarray([6], jnp.int32)
+    for params in (fused, plain):
+        cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        last, cache = llm_prefill(params, toks, n, cache, cfg)
+        if params is fused:
+            want = np.asarray(last)
+        else:
+            np.testing.assert_allclose(np.asarray(last), want,
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_chunk_batched_per_slot_sampling(tmp_path, rng):
+    """Per-slot keys/temps: deterministic per slot, independent across
+    slots, and a temp-0 slot decodes greedily while others sample."""
+    from miotts_tpu.models.llm import llm_generate_chunk_batched
+    params, cfg, r = _build(tmp_path)
+    r.close()
+    B, ctx, W = 3, 64, 8
+    toks = rng.integers(0, cfg.n_vocab, (B, 6)).astype(np.int32)
+    n_real = jnp.asarray([6, 6, 6], jnp.int32)
+
+    def run(seeds, temps):
+        cache = init_kv_cache(cfg, B, ctx, dtype=jnp.float32)
+        last, cache = llm_prefill(params, jnp.asarray(toks), n_real,
+                                  cache, cfg)
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        buf, *_ = llm_generate_chunk_batched(
+            params, last, cache, jnp.asarray([True] * B), keys,
+            jnp.asarray(temps, jnp.float32), jnp.asarray([-7], jnp.int32),
+            cfg, W)
+        return np.asarray(buf)
+
+    a = run([11, 22, 33], [2.0, 2.0, 0.0])
+    b = run([11, 22, 33], [2.0, 2.0, 0.0])
+    np.testing.assert_array_equal(a, b)                  # deterministic
+
+    c = run([11, 99, 33], [2.0, 2.0, 0.0])
+    np.testing.assert_array_equal(a[0], c[0])            # slot independence
+    np.testing.assert_array_equal(a[2], c[2])
+    assert (a[1] != c[1]).any()                          # seed matters
+
+    # greedy slot matches an all-greedy run's slot
+    g = run([1, 2, 3], [0.0, 0.0, 0.0])
+    np.testing.assert_array_equal(a[2], g[2])

@@ -143,3 +143,31 @@ def test_qdot_pallas_large_m_tiled(rng):
     got = np.asarray(_qdot_pallas(x, qt, interpret=True))
     want = np.asarray(x) @ ref.T
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_concat_heterogeneous_formats(rng):
+    """Q4_K (group 32, mins) fused with Q6_K (group 16, no mins) — the mix
+    real llama.cpp Q4_K_M files have per layer — must dequantize and qdot
+    exactly like the unfused tensors."""
+    from miotts_tpu.ops.qmat import concat_qtensors
+
+    qa, ra = _make_qt(GGML_Q4_K, 16, 512, rng)
+    qb, rb = _make_qt(GGML_Q6_K, 24, 512, rng)
+    qc, rc = _make_qt(GGML_Q8_0, 8, 512, rng)
+    fused = concat_qtensors([qa, qb, qc])
+    assert fused.shape == (48, 512)
+    ref = np.concatenate([ra, rb, rc], axis=0)
+    np.testing.assert_allclose(np.asarray(fused.dequant()), ref, atol=1e-6)
+
+    x = jnp.asarray(rng.standard_normal((3, 512)), jnp.float32)
+    got = np.asarray(qdot(x, fused))
+    want = np.asarray(x) @ ref.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_concat_mixed_dense_quant_rejected(rng):
+    from miotts_tpu.ops.qmat import concat_qtensors
+
+    qt, _ = _make_qt(GGML_Q8_0, 8, 256, rng)
+    with pytest.raises(ValueError):
+        concat_qtensors([qt, jnp.zeros((8, 256), jnp.float32)])

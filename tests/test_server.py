@@ -16,7 +16,7 @@ from http.server import ThreadingHTTPServer
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def engine_and_voice(tmp_path_factory):
     d = tmp_path_factory.mktemp("srv")
     codec_path = str(d / "codec.gguf")
     llm_path = str(d / "llm.gguf")
@@ -25,12 +25,17 @@ def server(tmp_path_factory):
     emb_path = str(d / "jp_female.emb.gguf")
     rng = np.random.default_rng(11)
     write_voice_embedding(emb_path, rng.standard_normal(ccfg.adaln_dim) * 0.3)
-
     engine = TTSEngine(EngineConfig(
         model_path=llm_path, codec_path=codec_path,
         max_tokens=50, llm_dtype="float32",
         prompt_bucket=32, code_bucket=16))
-    srv = TTSServer(engine, {"jp_female": VoiceModel(emb_path)}, n_slots=2)
+    return engine, VoiceModel(emb_path)
+
+
+@pytest.fixture(scope="module")
+def server(engine_and_voice):
+    engine, voice = engine_and_voice
+    srv = TTSServer(engine, {"jp_female": voice}, n_slots=2)
     srv.start_scheduler()
 
     s = socket.socket()
@@ -131,3 +136,31 @@ def test_stats_endpoint(server):
     for key in ("chunks", "decodes", "prefills", "llm_wait_sec",
                 "codec_sync_sec", "pending", "active_slots", "n_slots"):
         assert key in body
+
+
+def test_bad_request_non_object(server):
+    c = _conn(server)
+    c.request("POST", "/synthesize", body=json.dumps([1, 2]),
+              headers={"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 400
+    assert "bad request" in json.loads(r.read())["error"]
+
+
+def test_slow_client_cancels_not_deadlocks(engine_and_voice):
+    """A handler that stops draining must NOT stall the scheduler: once its
+    chunk queue fills, the callback returns False and the batcher cancels
+    the request (the pre-fix behavior blocked in queue.put forever)."""
+    from miotts_tpu.runtime.engine import Options
+
+    engine, voice = engine_and_voice
+    srv = TTSServer(engine, {"v": voice}, n_slots=2)
+    srv.queue_cap = 2   # pretend the client fell ~2 chunks behind
+    h = srv.submit("a slow client request", None,
+                   Options(max_tokens=40, temperature=1.0))
+    for _ in range(200):       # drive the scheduler inline (no thread)
+        if not srv.batcher.pending:
+            break
+        srv.batcher.step()
+    assert srv.batcher.pending == 0          # request finished (cancelled)
+    assert h.abandoned                        # and it was the queue-full path
