@@ -49,21 +49,45 @@ def waveform_errors(a: np.ndarray, b: np.ndarray) -> dict:
     }
 
 
-def best_lag_rmse(a: np.ndarray, b: np.ndarray, max_lag: int = 4096,
-                  step: int = 16) -> tuple[int, float]:
-    """Best alignment lag within ±max_lag by RMSE
-    (stream-compare.cpp:126-156 contract)."""
-    best_lag, best = 0, float("inf")
-    for lag in range(-max_lag, max_lag + 1, step):
-        if lag >= 0:
-            x, y = a[lag:], b
-        else:
-            x, y = a, b[-lag:]
-        m = min(len(x), len(y))
-        if m < 1000:
-            continue
-        r = float(np.sqrt(np.mean((np.asarray(x[:m], np.float64)
-                                   - np.asarray(y[:m], np.float64)) ** 2)))
-        if r < best:
-            best, best_lag = r, lag
-    return best_lag, best
+def best_lag_rmse(a: np.ndarray, b: np.ndarray,
+                  max_lag: int = 4096) -> tuple[int, float]:
+    """Best alignment lag within ±max_lag by RMSE — EVERY integer lag with
+    overlap >= 1024, like the reference (stream-compare.cpp:126-156; a
+    strided search would miss true lags that aren't multiples of the step).
+
+    Exact via sum decomposition: SSE(lag) = sum(a_win^2) + sum(b_win^2)
+    - 2 * crosscorr(lag), with the cross-correlation over all lags from one
+    FFT; the winning lag's RMSE is then recomputed directly so FFT roundoff
+    never reaches the reported metric."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    la, lb = len(a), len(b)
+    min_overlap = 1024
+    if min(la, lb) < min_overlap:
+        return 0, float("inf")
+
+    from scipy.signal import fftconvolve
+    cc = fftconvolve(a, b[::-1], mode="full")   # cc[lb-1+lag] = Σ a[j+lag]b[j]
+    sa2 = np.concatenate([[0.0], np.cumsum(a * a)])
+    sb2 = np.concatenate([[0.0], np.cumsum(b * b)])
+
+    lags = np.arange(-max_lag, max_lag + 1)
+    m = np.where(lags >= 0, np.minimum(la - lags, lb),
+                 np.minimum(la, lb + lags))
+    valid = m >= min_overlap
+    mc = np.maximum(m, 0)
+    a0 = np.clip(lags, 0, la)                    # window start in a
+    b0 = np.clip(-lags, 0, lb)                   # window start in b
+    sum_a2 = sa2[np.clip(a0 + mc, 0, la)] - sa2[a0]
+    sum_b2 = sb2[np.clip(b0 + mc, 0, lb)] - sb2[b0]
+    cross = cc[np.clip(lb - 1 + lags, 0, la + lb - 2)]
+    sse = np.where(valid, sum_a2 + sum_b2 - 2.0 * cross, np.inf)
+    rmse = np.sqrt(np.maximum(sse, 0.0) / np.maximum(m, 1))
+    if not valid.any():
+        return 0, float("inf")
+    lag = int(lags[int(np.argmin(rmse))])
+
+    x, y = (a[lag:], b) if lag >= 0 else (a, b[-lag:])
+    n = min(len(x), len(y))
+    exact = float(np.sqrt(np.mean((x[:n] - y[:n]) ** 2)))
+    return lag, exact

@@ -1,8 +1,8 @@
 """WAV file I/O.
 
 Write contract per `/root/reference/src/wav-writer.cpp:6-45`: 44-byte RIFF
-header, mono 16-bit PCM, float samples clamped to [-1, 1] and scaled by
-32767.
+header, mono 16-bit PCM, float samples scaled by 32767 THEN clamped to
+[-32768, 32767] (so hard-clipped negative audio hits -32768).
 """
 
 from __future__ import annotations
@@ -11,11 +11,23 @@ import struct
 
 import numpy as np
 
+from ..gguf import native as _native
+
+
+def f32_to_s16(samples: np.ndarray) -> np.ndarray:
+    """float PCM -> int16, reference clamp semantics
+    (`wav-writer.cpp:39-42`: clamp(s * 32767, -32768, 32767)).  The ONE
+    conversion used by the WAV writer, playback sinks, and HTTP streaming;
+    native C++ hot loop when available, numpy otherwise."""
+    s = np.ascontiguousarray(samples, dtype=np.float32).reshape(-1)
+    out = _native.f32_to_s16(s)
+    if out is not None:
+        return out
+    return np.clip(s * 32767.0, -32768.0, 32767.0).astype(np.int16)
+
 
 def wav_write(path: str, samples: np.ndarray, sample_rate: int) -> None:
-    s = np.asarray(samples, dtype=np.float32).reshape(-1)
-    pcm = np.clip(s, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype(np.int16)
+    pcm = f32_to_s16(samples)
     data = pcm.tobytes()
     n = len(data)
     header = struct.pack(

@@ -28,14 +28,19 @@ def _build_and_load():
     native_dir = os.path.join(root, "native")
     so_path = os.path.join(native_dir, "libmiotts_native.so")
     src = os.path.join(native_dir, "miotts_native.cpp")
-    if not os.path.exists(so_path) and os.path.exists(src):
+    stale = (os.path.exists(so_path) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so_path))
+    if (not os.path.exists(so_path) or stale) and os.path.exists(src):
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread", "-shared",
                  src, "-o", so_path],
                 check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if stale:   # keep using the old binary rather than failing
+                pass
+            else:
+                return None
     if not os.path.exists(so_path):
         return None
     try:

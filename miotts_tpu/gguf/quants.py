@@ -383,9 +383,17 @@ def quantize_f16(x: np.ndarray) -> np.ndarray:
 
 
 def quantize_bf16(x: np.ndarray) -> np.ndarray:
-    u = x.astype(np.float32).view(np.uint32)
-    # round-to-nearest-even on the mantissa cut
-    rounded = ((u >> 16) + ((u >> 15) & 1)).astype(np.uint16)
+    """f32 -> bf16 with round-to-nearest-even and NaN preservation
+    (ggml fp32_to_bf16 semantics: a NaN must stay a NaN, not round into
+    Inf; rounding adds 0x7FFF + lsb-of-result in 32-bit so it cannot
+    wrap)."""
+    u = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    rounded = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint16)
+    nan = np.isnan(x.astype(np.float32))
+    if nan.any():
+        # quiet the NaN: keep sign + exponent, force a mantissa bit
+        rounded = np.where(nan, ((u >> 16) | 0x0040).astype(np.uint16),
+                           rounded)
     return rounded.tobytes()
 
 

@@ -177,8 +177,8 @@ class GGUFReader:
         if vtype == T_ARRAY:
             etype = self._read_fmt("<I")
             count = self._read_fmt("<Q")
-            if etype in _SCALAR_FMT and etype != T_F32 and count > 4096:
-                # Fast path for big numeric arrays (e.g. token_type).
+            if etype in _SCALAR_FMT and count > 4096:
+                # Fast path for big numeric arrays (token_type, SPM scores).
                 fmt = _SCALAR_FMT[etype]
                 itemsize = struct.calcsize(fmt)
                 raw = self._read(itemsize * count)
@@ -258,13 +258,18 @@ class GGUFReader:
         return flat.reshape(info.shape)
 
     def tensor_np(self, name: str) -> np.ndarray:
-        """Tensor in its natural numpy dtype (int tensors stay integral)."""
+        """Tensor in its natural numpy dtype (int tensors stay integral).
+
+        Always returns an owning copy: a zero-copy mmap view would raise
+        BufferError at reader close for any caller holding the result past
+        the `with` block (quantized/f16 paths already copy via dequantize,
+        so views here would make lifetime rules type-dependent)."""
         info = self.tensors[name]
         raw = self.tensor_raw(name)
         dt = {GGML_I8: np.int8, GGML_I16: np.int16, GGML_I32: np.int32,
               GGML_I64: np.int64, GGML_F64: np.float64, GGML_F32: np.float32}.get(info.ggml_type)
         if dt is not None:
-            return raw.view(dt).reshape(info.shape)
+            return raw.view(dt).reshape(info.shape).copy()
         return self.tensor_f32(name)
 
     def close(self) -> None:

@@ -288,10 +288,10 @@ def _codec_audio_sliced_vmapped(params, codes_b, embs_b, cfg, n_real_b,
     if to_i16:
         # int16 wire format: every sink is 16-bit PCM anyway (WAV writer,
         # playback, HTTP streaming), so quantizing on device halves the
-        # transfer losslessly end-to-end (clamp-scale per wav-writer.cpp:
-        # 39-42 semantics)
-        out = jnp.clip(jnp.round(out * 32767.0), -32768, 32767).astype(
-            jnp.int16)
+        # transfer losslessly end-to-end.  Same scale-then-clamp-then-
+        # truncate semantics as audio.wav.f32_to_s16 (wav-writer.cpp:39-42;
+        # XLA float->int converts toward zero like the C++ cast)
+        out = jnp.clip(out * 32767.0, -32768, 32767).astype(jnp.int16)
     return out
 
 

@@ -17,6 +17,8 @@ from typing import IO, Optional
 
 import numpy as np
 
+from ..audio.wav import f32_to_s16
+
 
 class BoundedSampleQueue:
     """Thread-safe float-sample FIFO with a cap and cv backpressure
@@ -110,7 +112,7 @@ class PCMSink:
             # callback; file/stdout sinks write exactly what was produced.
             n = self.block if self.pace else min(self.block, avail)
             chunk = self.queue.pop(n)
-            pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+            pcm = f32_to_s16(chunk).astype("<i2").tobytes()
             self.out.write(pcm)
             self.consumed += len(chunk)
             if self.pace:

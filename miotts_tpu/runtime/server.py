@@ -28,6 +28,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from ..audio.wav import f32_to_s16
 from .batching import ContinuousBatcher
 from .engine import Options, TTSEngine, VoiceModel
 
@@ -184,8 +185,8 @@ def _make_handler(server: TTSServer):
                     while True:
                         samples, is_last = chunks_q.get()
                         if samples is not None and len(samples):
-                            pcm = (np.clip(samples, -1, 1)
-                                   * 32767).astype("<i2").tobytes()
+                            pcm = f32_to_s16(samples).astype(
+                                "<i2").tobytes()
                             self.wfile.write(f"{len(pcm):X}\r\n".encode())
                             self.wfile.write(pcm + b"\r\n")
                         if is_last:
@@ -209,7 +210,7 @@ def _make_handler(server: TTSServer):
             audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
             import io
             import struct
-            pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+            pcm = f32_to_s16(audio).astype("<i2").tobytes()
             hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm),
                               b"WAVE", b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
                               b"data", len(pcm))

@@ -212,9 +212,12 @@ class Tokenizer:
                 if m.start() > pos:
                     ids.extend(self._encode_fragment(text[pos:m.start()],
                                                      first=first))
-                    first = False
                 ids.append(self.special_tokens[m.group(0)])
                 pos = m.end()
+                # SPM prefixes the fragment AFTER a special token with the
+                # dummy space too (llama.cpp is_prev_special = true after
+                # every special); BPE fragments ignore the flag
+                first = True
             if pos < len(text):
                 ids.extend(self._encode_fragment(text[pos:], first=first))
         else:

@@ -29,11 +29,12 @@ inline float f16_to_f32(uint16_t h) {
         if (mant == 0) {
             bits = sign;
         } else {
-            // subnormal: normalize
+            // subnormal: mant * 2^-24 = 1.frac * 2^(-14 - shift) after
+            // normalizing (NOT -15: the subnormal exponent is e_min = -14)
             int shift = 0;
             while (!(mant & 0x400)) { mant <<= 1; shift++; }
             mant &= 0x3FF;
-            bits = sign | ((127 - 15 - shift) << 23) | (mant << 13);
+            bits = sign | ((127 - 14 - shift) << 23) | (mant << 13);
         }
     } else if (exp == 31) {
         bits = sign | 0x7F800000u | (mant << 13);
@@ -247,16 +248,17 @@ void miotts_repack_q4_k_t(const uint8_t* raw, int64_t rows, int64_t cols,
     transpose_blocked(mnl.data(), mins_t, rows, sb_per_row * 8);
 }
 
-// float PCM -> s16le with clamp (the WAV writer hot loop,
-// wav-writer.cpp:39-42 semantics)
+// float PCM -> s16le (the WAV writer hot loop).  Reference semantics are
+// clamp AFTER scaling (wav-writer.cpp:39-42): a hard-clipped sample below
+// -1 maps to -32768, not -32767.
 void miotts_f32_to_s16(const float* src, int16_t* dst, int64_t n) {
     parallel_rows((n + 65535) / 65536, [&](int64_t blk) {
         int64_t lo = blk * 65536, hi = std::min(n, lo + 65536);
         for (int64_t i = lo; i < hi; i++) {
-            float v = src[i];
-            if (v > 1.0f) v = 1.0f;
-            if (v < -1.0f) v = -1.0f;
-            dst[i] = (int16_t)(v * 32767.0f);
+            float v = src[i] * 32767.0f;
+            if (v > 32767.0f) v = 32767.0f;
+            if (v < -32768.0f) v = -32768.0f;
+            dst[i] = (int16_t)v;
         }
     });
 }

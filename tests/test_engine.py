@@ -206,7 +206,11 @@ def test_spectral_distance_metric(rng):
     assert log_spectral_distance(a, b) > 5.0
     e = waveform_errors(a, a)
     assert e["rmse"] == 0.0 and e["n"] == len(a)
-    # shifted copy recovered by best-lag search
-    shift = 256
-    lag, r = best_lag_rmse(np.roll(a, shift), a, max_lag=512, step=16)
-    assert abs(lag - shift) <= 16
+    # shifted copy recovered EXACTLY by the all-lag search, including lags
+    # that aren't multiples of any stride (reference searches every lag)
+    rng_n = np.random.default_rng(3)
+    noise = rng_n.standard_normal(len(a)).astype(np.float32) * 0.1
+    for shift in (256, 7, -133):
+        lag, r = best_lag_rmse(np.roll(noise, shift), noise, max_lag=512)
+        assert lag == shift
+        assert r < 0.2  # roll wraparound noise only

@@ -125,3 +125,23 @@ def test_voice_embedding_roundtrip(tmp_path, rng):
     with GGUFReader(path) as r:
         assert r.kv["general.architecture"] == "mio-embedding"
         assert r.get_u32("mio.embedding.dim") == 128
+
+
+def test_bf16_quantize_rtne_and_nan():
+    """bf16 conversion is round-to-nearest-even and NaN-preserving
+    (ggml fp32_to_bf16 semantics) — half-up rounding laundered NaNs into
+    +Inf and wrapped negative NaNs to +0.0 (regression)."""
+    import ml_dtypes
+    from miotts_tpu.gguf.quants import quantize_bf16
+
+    x = np.array([1.00390625, -1.5, 3.14159, 1e-40, 65504.0, 0.0, -0.0],
+                 np.float32)
+    got = np.frombuffer(quantize_bf16(x), np.uint16)
+    ref = x.astype(ml_dtypes.bfloat16).view(np.uint16)
+    np.testing.assert_array_equal(got, ref)
+
+    nans = np.frombuffer(
+        np.array([0x7F800001, 0xFFC00000, 0xFFFFFFFF], np.uint32).tobytes(),
+        np.float32)
+    out = np.frombuffer(quantize_bf16(nans), np.uint16)
+    assert np.isnan(out.view(ml_dtypes.bfloat16).astype(np.float32)).all()

@@ -184,3 +184,13 @@ def test_spm_whitespace_handling():
     # both words become ▁hello
     assert [tok.tokens[i] for i in ids] == ["▁hello", "▁hello"]
     assert tok.decode(ids) == " hello hello"
+
+
+def test_spm_space_prefix_after_special():
+    """llama.cpp SPM sets is_prev_special=true after every special-token
+    fragment, so raw text FOLLOWING a mid-text special also gets the dummy
+    space prefix — not just the first fragment."""
+    tok = _spm_tokenizer()
+    ids = tok.encode("hello</s>hello", add_special=False)
+    pieces = [tok.tokens[i] for i in ids]
+    assert pieces == ["▁hello", "</s>", "▁hello"]
