@@ -38,6 +38,51 @@ def main():
     print(f"RESULT {pid} {val}", flush=True)
     assert val == 4 * n_proc, val
 
+    # --- phase 2: real TP decode step with the 'model' axis spanning the
+    # process boundary, so the per-layer TP psums actually cross hosts
+    # (DCN path on a pod).  Both processes must compute the same replicated
+    # logits checksum.
+    import tempfile
+
+    from __graft_entry__ import _build_tiny_models
+    from miotts_tpu.models.llm import (
+        init_kv_cache, llm_decode_step, llm_prefill,
+    )
+    from miotts_tpu.parallel.sharding import shard_kv_cache, shard_llm_params
+    from jax.sharding import NamedSharding
+
+    # devices[i::?] — reshape(n_proc, 4).T puts one device from EACH
+    # process in every 'model' row
+    arr = np.array(devices).reshape(n_proc, 4).T      # [4, n_proc]
+    mesh2 = Mesh(arr, ("data", "model"))
+    params, cfg = _build_tiny_models(tempfile.mkdtemp(prefix="mh_"),
+                                     n_kv_heads=max(2, n_proc))
+    B, S = 4, 8
+    with jax.set_mesh(mesh2):
+        sp = shard_llm_params(params, mesh2, cfg)
+        cache = shard_kv_cache(init_kv_cache(cfg, B, 32, dtype=jnp.float32),
+                               mesh2)
+        toks = jax.device_put(
+            np.tile(np.arange(S, dtype=np.int32), (B, 1)),
+            NamedSharding(mesh2, P("data", None)))
+        n_real = jax.device_put(np.full((B,), S, np.int32),
+                                NamedSharding(mesh2, P("data")))
+
+        @jax.jit
+        def step(sp, toks, n_real, cache):
+            # params must be ARGUMENTS: closing over arrays that span
+            # non-addressable devices is rejected in multi-controller JAX
+            last, cache = llm_prefill(sp, toks, n_real, cache, cfg)
+            tok = jnp.argmax(last, -1).astype(jnp.int32)
+            logits, cache = llm_decode_step(sp, tok, cache, cfg)
+            return jnp.sum(jnp.abs(logits)), tok
+
+        checksum, tok = step(sp, toks, n_real, cache)
+        cs = float(np.asarray(checksum))
+        tk = np.asarray(tok).tolist()
+    assert np.isfinite(cs), cs
+    print(f"STEP {pid} {cs:.4f} {tk}", flush=True)
+
 
 if __name__ == "__main__":
     main()

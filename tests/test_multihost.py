@@ -47,3 +47,10 @@ def test_two_process_psum(tmp_path):
         assert rc == 0, out[-2000:]
     assert any("RESULT 0 8.0" in out for _, out in outs)
     assert any("RESULT 1 8.0" in out for _, out in outs)
+    # phase 2: cross-process TP decode step — both processes computed the
+    # SAME replicated checksum + greedy tokens (per-layer psums crossed the
+    # process boundary)
+    steps = sorted(line for _, out in outs for line in out.splitlines()
+                   if line.startswith("STEP "))
+    assert len(steps) == 2, steps
+    assert steps[0].split(" ", 2)[2] == steps[1].split(" ", 2)[2], steps
