@@ -1096,8 +1096,11 @@ def sample_token_filtered(logits: jax.Array, temperature: jax.Array,
     chain with llama.cpp's common sampler stages).  logits [B, V] -> [B].
 
     top_k: static int (0 = off); top_p in (0, 1]; min_p relative threshold.
+    temperature / top_p / min_p may each be a scalar or a per-row [B] array.
     """
-    scaled = logits / jnp.maximum(temperature, 1e-6)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    t_col = temperature[:, None] if temperature.ndim == 1 else temperature
+    scaled = logits / jnp.maximum(t_col, 1e-6)
 
     if top_k and top_k > 0:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
@@ -1106,17 +1109,21 @@ def sample_token_filtered(logits: jax.Array, temperature: jax.Array,
     if min_p is not None:
         # keep tokens with prob >= min_p * max_prob  <=>  logit >= max_logit
         # + log(min_p)
+        min_p = jnp.asarray(min_p, jnp.float32)
+        mp_col = min_p[:, None] if min_p.ndim == 1 else min_p
         mx = jnp.max(scaled, axis=-1, keepdims=True)
-        scaled = jnp.where(scaled >= mx + jnp.log(jnp.maximum(min_p, 1e-9)),
+        scaled = jnp.where(scaled >= mx + jnp.log(jnp.maximum(mp_col, 1e-9)),
                            scaled, -jnp.inf)
 
     if top_p is not None:
+        top_p = jnp.asarray(top_p, jnp.float32)
+        tp_col = top_p[:, None] if top_p.ndim == 1 else top_p
         probs = jax.nn.softmax(scaled, axis=-1)
         order = jnp.argsort(-probs, axis=-1)
         sorted_p = jnp.take_along_axis(probs, order, axis=-1)
         csum = jnp.cumsum(sorted_p, axis=-1)
         # keep the smallest prefix with mass >= top_p (always keep rank 0)
-        keep_sorted = (csum - sorted_p) < top_p
+        keep_sorted = (csum - sorted_p) < tp_col
         keep = jnp.zeros_like(keep_sorted).at[
             jnp.arange(probs.shape[0])[:, None], order].set(keep_sorted)
         scaled = jnp.where(keep, scaled, -jnp.inf)

@@ -15,6 +15,7 @@ out — the scheduler is sharding-agnostic.
 
 from __future__ import annotations
 
+import sys
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -132,7 +133,7 @@ class ContinuousBatcher:
         self._dirty_codes = True
         self._embs = None
         # pipelined-codec deferred emissions: [(audio_dev, items)] where
-        # items = [(req, row, begin, end, n_decoded)]
+        # items = [(req, row, sample_offset, n_samples)]
         self._pending: list = []
         # chunk dispatch pipeline: device-resident active mask + in-flight
         # chunk outputs [(buf, active_out, per-slot request snapshot)]
@@ -183,7 +184,36 @@ class ContinuousBatcher:
             max_tok = (req.options.max_tokens if req.options.max_tokens > 0
                        else eng.config.max_tokens)
             if n + max_tok + self.chunk_steps > self.ctx_len:
-                max_tok = max(0, self.ctx_len - n - self.chunk_steps)
+                clamped = max(0, self.ctx_len - n - self.chunk_steps)
+                if clamped < max_tok:
+                    sys.stderr.write(
+                        f"miotts: request {req.req_id}: token budget "
+                        f"{max_tok} -> {clamped} (prompt {n} tokens, "
+                        f"ctx_len {self.ctx_len}; pass ctx_len= to the "
+                        f"batcher for longer utterances)\n")
+                max_tok = clamped
+            # an over-long prompt can neither prefill (its bucket exceeds
+            # the cache length) nor generate: fail THIS request, never the
+            # shared scheduler (reference semantics: llama_decode fails ->
+            # that synthesis returns false, test-to-speech.cpp:143)
+            if (max_tok < 1 or _round_up(n, eng.config.prompt_bucket)
+                    > self.ctx_len):
+                sys.stderr.write(
+                    f"miotts: request {req.req_id}: prompt ({n} tokens) "
+                    f"does not fit ctx_len {self.ctx_len}; rejected\n")
+                req.done = True
+                req.failed = True
+                req.finished_at = time.perf_counter()
+                try:
+                    req.callback(None, eng.sample_rate, True)
+                except Exception:
+                    pass
+                if req.on_finish is not None:
+                    try:
+                        req.on_finish(req)
+                    except Exception:
+                        pass
+                continue
             req._max_tokens = max_tok
             admit.append((slot, req, ids))
         if not admit:
@@ -276,7 +306,11 @@ class ContinuousBatcher:
     def _emit_samples(self, req: Request, audio: np.ndarray, begin: int,
                       end: int, is_final: bool) -> bool:
         """Chunked emission of audio[begin:end] with ~30 ms crossfade against
-        the previous tail (test-to-speech.cpp:367-417)."""
+        the previous tail (test-to-speech.cpp:367-417).
+
+        NOTE: the ramp/tail math mirrors engine.synthesize_stream's
+        emit_range — any policy change must be applied to BOTH (they differ
+        only in where the tail lives and in profiling hooks)."""
         eng = self.engine
         cfgE = eng.config
         sr = eng.sample_rate
@@ -523,8 +557,11 @@ class ContinuousBatcher:
             self._embs, self.cfg, eng.codec_cfg, self.chunk_steps,
             self._codes_bucket, cfgE.holdback_codes,
             cfgE.min_commit_step_codes)
+        t0 = time.perf_counter()
         buf_h, active_h, emit_h, target_h = jax.device_get(
             (buf, active_dev, emit_dev, target_dev))
+        self.stage["llm_wait_sec"] += time.perf_counter() - t0
+        self.stage["chunks"] += 1
 
         table = self._table
         audio_np = None
@@ -541,7 +578,10 @@ class ContinuousBatcher:
                     req.codes.append(int(c))
             if emit_h[slot]:
                 if audio_np is None:
+                    t0 = time.perf_counter()
                     audio_np = np.asarray(audio)
+                    self.stage["codec_sync_sec"] += time.perf_counter() - t0
+                    self.stage["decodes"] += 1
                 target = int(target_h[slot])
                 seg = audio_np[slot]
                 ok = self._emit_segment(req, seg, target, spt)

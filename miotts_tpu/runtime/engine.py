@@ -1043,6 +1043,8 @@ class TTSEngine:
 
         def emit_range(audio: np.ndarray, begin: int, end: int,
                        is_final: bool) -> bool:
+            # NOTE: ramp/tail math mirrors batching._emit_samples — any
+            # policy change must be applied to BOTH.
             nonlocal tail
             if begin >= end:
                 if is_final:

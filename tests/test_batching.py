@@ -428,3 +428,62 @@ def test_max_tokens_budget_not_overshot(engine):
     batcher.run_until_done(max_iters=100)
     assert seen["req"].n_tokens <= 13
     assert len(seen["req"].codes) <= 13
+
+
+def test_overlong_prompt_rejected_not_fatal(engine):
+    """A prompt whose token count cannot fit the batcher's ctx_len fails
+    ONLY that request (final callback + on_finish with failed=True) —
+    reference semantics: a failed llama_decode fails the one synthesis
+    (test-to-speech.cpp:143) — while concurrent requests complete."""
+    eng, voice = engine
+    batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10)
+    assert batcher.ctx_len <= 512  # fixture premise: small cache
+    # byte-level BPE on unique ASCII -> roughly one token per word/punct
+    long_text = " ".join(f"w{i}" for i in range(2 * batcher.ctx_len))
+    finished = {}
+    finals = []
+
+    def cb_long(samples, sr, is_last):
+        if is_last:
+            finals.append(samples)
+        return True
+
+    batcher.submit(long_text, voice, cb_long,
+                   Options(max_tokens=40, temperature=1.0),
+                   on_finish=lambda r: finished.setdefault("long", r))
+    ok_chunks = []
+    batcher.submit("short one", voice,
+                   lambda s, sr, last: ok_chunks.append(s) or True,
+                   Options(max_tokens=30, temperature=1.0),
+                   on_finish=lambda r: finished.setdefault("short", r))
+    batcher.run_until_done(max_iters=200)
+    assert batcher.pending == 0
+    assert finished["long"].failed and finished["long"].done
+    assert finals == [None]           # final callback still delivered
+    assert not finished["short"].failed
+
+
+def test_sample_token_filtered_per_row_params(engine):
+    """temperature / top_p / min_p accept per-row [B] arrays (the batched
+    serving shape): greedy rows match argmax, filtered rows stay inside
+    their own nucleus."""
+    import jax
+    from miotts_tpu.models.llm import sample_token_filtered
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((3, 17)) * 4.0, jnp.float32)
+    temps = jnp.asarray([0.0, 1.0, 2.0], jnp.float32)
+    top_p = jnp.asarray([1.0, 0.25, 0.25], jnp.float32)
+    min_p = jnp.asarray([0.0, 0.0, 0.5], jnp.float32)
+    for trial in range(20):
+        k = jax.random.PRNGKey(trial)
+        t = np.asarray(sample_token_filtered(
+            logits, temps, k, top_p=top_p, min_p=min_p))
+        assert t.shape == (3,)
+        assert t[0] == int(np.argmax(np.asarray(logits)[0]))
+        # row 2: min_p=0.5 at temp 2 -> only tokens with >= half the top
+        # probability survive
+        row = np.asarray(logits)[2] / 2.0
+        p = np.exp(row - row.max())
+        allowed = set(np.nonzero(p >= 0.5 * p.max())[0].tolist())
+        assert int(t[2]) in allowed
