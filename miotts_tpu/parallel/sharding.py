@@ -94,8 +94,11 @@ def _apply_spec(tree, spec: P, mesh: Mesh):
         if len(axes) >= 2:
             axes[-1], axes[-2] = axes[-2], axes[-1]
         qspec = P(*axes)
-        # every component (values AND per-group scales) must divide evenly,
-        # else replicate the whole tensor
+        # Every component (values AND per-group scales/mins) must divide
+        # evenly, else replicate the whole tensor.  The scales check also
+        # guarantees each shard holds WHOLE quant groups along K — required
+        # for dequant correctness, and for packed nibbles (two quants/byte,
+        # group-split halves) it keeps shard boundaries off mid-group rows.
         ok = _fits(tree.values.shape, qspec, mesh) and _fits(tree.scales.shape, qspec, mesh)
         if tree.mins is not None:
             ok = ok and _fits(tree.mins.shape, qspec, mesh)
@@ -108,6 +111,7 @@ def _apply_spec(tree, spec: P, mesh: Mesh):
                 tree.mins, NamedSharding(mesh, qspec)),
             group=tree.group,
             n_out=tree.n_out,
+            packed=tree.packed,
         )
     if not _fits(tree.shape, spec, mesh):
         spec = P()
