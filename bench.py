@@ -141,6 +141,9 @@ def main() -> int:
         return 1
 
     profile = best
+    # device-measured codec/iSTFT split (fused streaming otherwise folds
+    # those stages into llm_sec and the stage contract degrades)
+    engine.attribute_stages(profile)
     audio_sec = best_emitted / engine.sample_rate
 
     # p50 time-to-first-audio over several steady-state streams (north-star

@@ -121,9 +121,18 @@ def cmd_bench(args) -> int:
     if not ok:
         print("stream_bench.error=1")
         return 1
+    # Fused streaming folds codec+iSTFT into one executable; re-attribute
+    # stage time from device measurements so the per-stage contract holds.
+    engine.attribute_stages(profile)
     audio_sec = emitted[0] / engine.sample_rate
+    total = max(profile.total_sec, 1e-9)
     for k, v in profile.as_metrics(audio_sec).items():
-        print(f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}")
+        if k.startswith("stream_bench.stage."):
+            # reference prints stages as seconds + percent-of-total
+            # (stream-benchmark.cpp:163-166)
+            print(f"{k}={v:.6f} ({100.0 * v / total:.2f}%)")
+        else:
+            print(f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}")
     return 0
 
 

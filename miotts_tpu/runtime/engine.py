@@ -480,6 +480,18 @@ class TTSEngine:
         `max_codes`.  Keeps compiles out of serving latency (and out of
         time-to-first-audio); the reference has no analog because ggml
         rebuilds its graph every call anyway (`miocodec.cpp:558`)."""
+        import os
+        import sys
+        verbose = bool(os.environ.get("MIOTTS_WARMUP_VERBOSE"))
+        _tprev = [time.perf_counter()]
+
+        def _mark(label: str) -> None:
+            if verbose:
+                now = time.perf_counter()
+                print(f"warmup: {label}: {now - _tprev[0]:.1f}s",
+                      file=sys.stderr, flush=True)
+                _tprev[0] = now
+
         cfgc = self.codec_cfg
         emb = jnp.zeros((cfgc.adaln_dim,), jnp.float32)
         if max_codes is None:
@@ -502,6 +514,7 @@ class TTSEngine:
                 self.codec_params["istft_hann"],
                 cfgc.hop_length, cfgc.total_upsample, n_real)
             audio.block_until_ready()
+            _mark(f"codec bucket T={T}")
         if self.llm_params is not None:
             cfg = self.llm_cfg
             dtype = (jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
@@ -515,6 +528,8 @@ class TTSEngine:
             toks = jnp.zeros((1, bucket_p), jnp.int32)
             last, cache = llm_prefill(self.llm_params, toks,
                                       jnp.asarray([8], jnp.int32), cache, cfg)
+            _sync(last)
+            _mark(f"llm prefill bucket={bucket_p}")
             stop_ids = jnp.asarray([-1, -1], jnp.int32)
             # Interleave chunk and codec executions like a real stream does:
             # alternating programs exercises the device's program switching
@@ -531,6 +546,7 @@ class TTSEngine:
                     self.codec_params, codes_w, emb_w, cfgc,
                     n_real=jnp.asarray(1, jnp.int32))
                 lm.block_until_ready()
+                _mark(f"llm chunk={chunk} + codec interleave")
             if self.config.fused_streaming:
                 # precompile the fused streaming step: one bucket per
                 # geometric length in full mode; a single fixed bucket in
@@ -568,8 +584,77 @@ class TTSEngine:
                         self.config.stream_window_codes > 0,
                         not self.config.stream_window_codes > 0)
                     out[0].block_until_ready()
+                    _mark(f"fused stream step bucket={b}")
                     last, cache = out[3], out[4]
             self._cache = cache
+
+    def attribute_stages(self, profile: StreamProfile,
+                         reps: int = 8) -> StreamProfile:
+        """Device-measured codec/iSTFT stage split for a fused-streaming
+        profile (restores the reference's per-stage observability contract,
+        `stream-benchmark.cpp:163-166`, which the fused step otherwise
+        degrades: its single executable folds codec+iSTFT time into
+        llm_sec).  Times the standalone codec-decode and iSTFT executables
+        (compiled by warmup) at each decode call's bucket length, then moves
+        that measured time from llm_sec into codec_sec/istft_sec.  Runs
+        AFTER a timed stream so the measurement never pollutes serving
+        latency."""
+        if profile.stages_calibrated or not profile.decode_bucket_codes:
+            return profile
+        from collections import Counter
+        cfgc = self.codec_cfg
+        emb = jnp.zeros((cfgc.adaln_dim,), jnp.float32)
+        counts = Counter(profile.decode_bucket_codes)
+        codec_total = 0.0
+        istft_total = 0.0
+        for b, n_calls in sorted(counts.items()):
+            codes = jnp.zeros((b,), jnp.int32)
+            n_real = jnp.asarray(b, jnp.int32)
+            # warm (compile-cache hit expected; the stream already used
+            # these buckets in fused form, warmup compiled the standalone
+            # forms)
+            lm, ph = codec_decode_spec(self.codec_params, codes, emb, cfgc,
+                                       n_real=n_real)
+            audio = spec_to_audio_bucketed(
+                lm, ph, self.codec_params["istft_cos_basis"],
+                self.codec_params["istft_sin_basis"],
+                self.codec_params["istft_hann"],
+                cfgc.hop_length, cfgc.total_upsample, n_real)
+            _sync(audio)
+            # Timed: dispatch `reps` back-to-back executions and fence once
+            # (block_until_ready returns before execution completes on the
+            # relay — a scalar fetch is the reliable fence), so per-call
+            # dispatch overhead is pipelined away like in serving.
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                lm, ph = codec_decode_spec(self.codec_params, codes, emb,
+                                           cfgc, n_real=n_real)
+            _sync(lm)
+            codec_dt = (time.perf_counter() - t0) / reps
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                audio = spec_to_audio_bucketed(
+                    lm, ph, self.codec_params["istft_cos_basis"],
+                    self.codec_params["istft_sin_basis"],
+                    self.codec_params["istft_hann"],
+                    cfgc.hop_length, cfgc.total_upsample, n_real)
+            _sync(audio)
+            istft_dt = (time.perf_counter() - t0) / reps
+            codec_total += codec_dt * n_calls
+            istft_total += istft_dt * n_calls
+        moved = codec_total + istft_total
+        if moved > profile.llm_sec > 0:
+            # measurement noise exceeded the fused time — scale down so the
+            # stages still sum to the measured total
+            scale = profile.llm_sec / moved
+            codec_total *= scale
+            istft_total *= scale
+            moved = profile.llm_sec
+        profile.llm_sec -= moved
+        profile.codec_sec += codec_total
+        profile.istft_sec += istft_total
+        profile.stages_calibrated = True
+        return profile
 
     # ------------------------------------------------------------------
     # LLM: speech-token generation
@@ -897,6 +982,7 @@ class TTSEngine:
             if bool(emit_h) or bool(flush_h):
                 profile.decode_calls += 1
                 profile.decoded_codes += int(n_codes_h)
+                profile.decode_bucket_codes.append(int(outs[6].shape[0]))
                 end_c = int(n_codes_h) if bool(flush_h) else int(target_h)
                 t1 = time.perf_counter()
                 if end_c - int(begin_h) <= k_codes:

@@ -43,6 +43,15 @@ class StreamProfile:
     # TPU-native extensions (not in the reference)
     prefill_sec: float = 0.0
     first_audio_sec: float = -1.0   # time-to-first-audio (p50 target metric)
+    # Fused streaming folds the codec+iSTFT execution into the single
+    # fused-step program, so host timers alone cannot split the stages.
+    # The engine records the codec bucket length of every decode call here;
+    # TTSEngine.attribute_stages() then times the standalone codec/iSTFT
+    # executables at those buckets ON DEVICE and rewrites
+    # codec_sec/istft_sec/llm_sec so the reference's stage contract
+    # (stream-benchmark.cpp:163-166) holds in the default configuration.
+    decode_bucket_codes: list = field(default_factory=list)
+    stages_calibrated: bool = False
 
     def as_metrics(self, audio_sec: float) -> dict:
         """stream_bench.* key/value lines (stream-benchmark.cpp:148-167)."""

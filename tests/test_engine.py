@@ -132,6 +132,37 @@ def test_stream_llm_policy(engine):
         assert profile.first_audio_sec >= 0
 
 
+def test_attribute_stages_restores_split(engine):
+    """Fused streaming folds codec+iSTFT time into llm_sec;
+    attribute_stages() must restore a nonzero device-measured split while
+    preserving the stage sum (the reference's per-stage contract,
+    stream-benchmark.cpp:163-166)."""
+    eng, voice = engine
+    assert eng.config.fused_streaming
+    profile = StreamProfile()
+
+    def cb(samples, sr, is_last):
+        return True
+
+    ok = eng.synthesize_stream(voice, "attribute the stages", cb,
+                               options=Options(max_tokens=80, temperature=1.0),
+                               profile=profile)
+    assert ok
+    if not profile.decode_bucket_codes:
+        pytest.skip("random model emitted no decodable codes")
+    before = profile.llm_sec + profile.codec_sec + profile.istft_sec
+    out = eng.attribute_stages(profile, reps=2)
+    assert out is profile and profile.stages_calibrated
+    assert profile.codec_sec > 0 and profile.istft_sec > 0
+    assert profile.llm_sec >= 0
+    after = profile.llm_sec + profile.codec_sec + profile.istft_sec
+    assert after == pytest.approx(before, rel=1e-6)
+    # idempotent: a second call must not double-move time
+    eng.attribute_stages(profile, reps=2)
+    assert profile.llm_sec + profile.codec_sec + profile.istft_sec == \
+        pytest.approx(before, rel=1e-6)
+
+
 def test_stream_callback_abort(engine, rng):
     """Callback returning False aborts synthesis (the reference's only
     cancellation mechanism, test-to-speech.cpp:405-409)."""
