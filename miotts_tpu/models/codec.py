@@ -483,6 +483,138 @@ def codec_decode_stages(params: dict, codes, voice_emb, cfg: CodecConfig):
     return stages, out
 
 
+def codec_decoder_layer_substeps(params: dict, codes, voice_emb,
+                                 cfg: CodecConfig, layer: int = 0):
+    """Sub-op bisection inside ONE wave_decoder AdaLN layer (the
+    counterpart of `/root/reference/tools/debug_decoder_substeps.py:75-229`:
+    STEP A cond-proj → B modulated norm → C QKV/RoPE/SDPA → D gated
+    residual → E/F FFN cond+norm → G SwiGLU → H gated residual).
+
+    Runs the network eagerly up to decoder layer `layer`, then expands that
+    layer op by op, recording every intermediate.  Returns
+    (substeps OrderedDict[name -> np.ndarray], max_abs_diff) where
+    max_abs_diff cross-checks the manual expansion against the production
+    `decoder_layer` math (the reference's "manual vs full" check)."""
+    from collections import OrderedDict
+    subs = OrderedDict()
+
+    def tap(name, x):
+        subs[name] = np.asarray(x)
+
+    _set_fast(cfg.fast)
+    codes = jnp.asarray(codes, jnp.int32)
+    cond = jnp.asarray(voice_emb, jnp.float32)
+    eps = cfg.norm_eps
+
+    # ---- run eagerly up to the decoder input ----
+    stages, _ = codec_decode_stages(params, codes, cond, cfg)
+    x = jnp.asarray(stages["prior"])           # decoder input [S, dim]
+    S = x.shape[0]
+    mask_s = jnp.ones((S,), jnp.float32)
+    pos_s = jnp.arange(S, dtype=jnp.int32)
+    bias_s = _band_mask_bias(S, cfg.decoder_window, mask_s)
+
+    def layer_step(x, p):
+        sh, sc, g = _adaln3(cond, p["attn_cond_w"], p["attn_cond_b"])
+        h = _adaln_norm(x, sh, sc, eps)
+        h = _local_attention(h, p["wq"], p["wk"], p["wv"], p["wo"],
+                             pos_s, bias_s, cfg.decoder_heads, cfg.rope_theta)
+        x = x + h * g
+        sh, sc, g = _adaln3(cond, p["ffn_cond_w"], p["ffn_cond_b"])
+        h = _adaln_norm(x, sh, sc, eps)
+        h = _swiglu(h, p["w_gate"], p["w_up"], p["w_down"])
+        return x + h * g
+
+    n_layers = jax.tree_util.tree_leaves(params["decoder_blocks"])[0].shape[0]
+    if not 0 <= layer < n_layers:
+        raise ValueError(f"layer {layer} out of range [0, {n_layers})")
+    for i in range(layer):
+        p_i = jax.tree.map(lambda a: a[i], params["decoder_blocks"])
+        x = layer_step(x, p_i)
+    p = jax.tree.map(lambda a: a[layer], params["decoder_blocks"])
+    tap("layer_in", x)
+
+    # ---- STEP A: attention AdaLN conditioning ----
+    silu_cond = jax.nn.silu(cond)
+    tap("silu_cond", silu_cond)
+    cond_out = _linear(silu_cond, p["attn_cond_w"], p["attn_cond_b"])
+    tap("attn_cond_out", cond_out)
+    dim = cond_out.shape[-1] // 3
+    sh, sc, g = (cond_out[..., :dim], cond_out[..., dim:2 * dim],
+                 cond_out[..., 2 * dim:])
+    tap("attn_shift", sh); tap("attn_scale", sc); tap("attn_gate", g)
+
+    # ---- STEP B: AdaLN norm (affine-free LN, then modulate) ----
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    x_norm = (x - mu) * jax.lax.rsqrt(var + eps)
+    tap("x_norm", x_norm)
+    x_mod = x_norm * (1.0 + sc) + sh
+    tap("x_modulated", x_mod)
+
+    # ---- STEP C: self-attention, expanded ----
+    n_head = cfg.decoder_heads
+    hd = x.shape[-1] // n_head
+    q = _linear(x_mod, p["wq"]).reshape(S, n_head, hd)
+    k = _linear(x_mod, p["wk"]).reshape(S, n_head, hd)
+    v = _linear(x_mod, p["wv"]).reshape(S, n_head, hd)
+    tap("q_proj", q); tap("k_proj", k); tap("v_proj", v)
+    q_r = _rope_interleaved(q, pos_s, cfg.rope_theta)
+    k_r = _rope_interleaved(k, pos_s, cfg.rope_theta)
+    tap("q_rope", q_r); tap("k_rope", k_r)
+    scores = jnp.einsum("qhd,khd->hqk", q_r, k_r, **_DOT) / np.sqrt(hd)
+    scores = scores + bias_s[None, :, :]
+    tap("attn_scores", scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    tap("attn_probs", probs)
+    ctx = jnp.einsum("hqk,khd->qhd", probs, v, **_DOT).reshape(S, -1)
+    tap("attn_ctx", ctx)
+    attn_out = _linear(ctx, p["wo"])
+    tap("attn_out", attn_out)
+
+    # ---- STEP D: gated attention residual ----
+    gated_attn = attn_out * g
+    tap("gated_attn", gated_attn)
+    h = x + gated_attn
+    tap("attn_residual", h)
+
+    # ---- STEP E/F: FFN AdaLN conditioning + norm ----
+    cond_out = _linear(silu_cond, p["ffn_cond_w"], p["ffn_cond_b"])
+    tap("ffn_cond_out", cond_out)
+    sh, sc, g = (cond_out[..., :dim], cond_out[..., dim:2 * dim],
+                 cond_out[..., 2 * dim:])
+    tap("ffn_shift", sh); tap("ffn_scale", sc); tap("ffn_gate", g)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    h_norm = (h - mu) * jax.lax.rsqrt(var + eps)
+    tap("h_norm", h_norm)
+    h_mod = h_norm * (1.0 + sc) + sh
+    tap("h_modulated", h_mod)
+
+    # ---- STEP G: SwiGLU ----
+    gate_proj = _linear(h_mod, p["w_gate"])
+    tap("ffn_gate_proj", gate_proj)
+    up_proj = _linear(h_mod, p["w_up"])
+    tap("ffn_up_proj", up_proj)
+    silu_gate = jax.nn.silu(gate_proj)
+    tap("ffn_silu_gate", silu_gate)
+    gated = silu_gate * up_proj
+    tap("ffn_gated", gated)
+    ffn_out = _linear(gated, p["w_down"])
+    tap("ffn_out", ffn_out)
+
+    # ---- STEP H: gated FFN residual ----
+    gated_ffn = ffn_out * g
+    tap("gated_ffn", gated_ffn)
+    out = h + gated_ffn
+    tap("layer_out", out)
+
+    # cross-check: manual expansion vs the production layer math
+    full = layer_step(jnp.asarray(subs["layer_in"]), p)
+    max_diff = float(jnp.max(jnp.abs(out - full)))
+    return subs, max_diff
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def codec_decode_audio(params: dict, codes: jax.Array, voice_emb: jax.Array,
                        cfg: CodecConfig, n_real: jax.Array | None = None) -> jax.Array:

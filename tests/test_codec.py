@@ -64,6 +64,46 @@ def test_spec_matches_numpy_reference(tiny_codec, rng):
     np.testing.assert_allclose(np.asarray(got_ph), want_ph, atol=5e-4)
 
 
+def test_decoder_layer_substeps(tiny_codec, rng):
+    """Sub-op bisection inside one wave_decoder layer
+    (debug_decoder_substeps.py:75-229 granularity): the manual expansion
+    must match the production layer math, layer_in at layer 0 must equal
+    the prior-stage output, and layer_out at the LAST layer must equal the
+    whole decoder-stack output."""
+    from miotts_tpu.models.codec import (
+        codec_decode_stages, codec_decoder_layer_substeps,
+    )
+    import jax
+    params, cfg = tiny_codec
+    codes = rng.integers(0, 64, 4)
+    emb = rng.standard_normal(cfg.adaln_dim).astype(np.float32) * 0.5
+    stages, _ = codec_decode_stages(params, codes, emb, cfg)
+
+    subs, max_diff = codec_decoder_layer_substeps(params, codes, emb, cfg, 0)
+    assert max_diff < 1e-5
+    for key in ("silu_cond", "attn_cond_out", "attn_shift", "attn_scale",
+                "attn_gate", "x_norm", "x_modulated", "q_proj", "k_proj",
+                "v_proj", "q_rope", "k_rope", "attn_scores", "attn_probs",
+                "attn_ctx", "attn_out", "gated_attn", "attn_residual",
+                "ffn_cond_out", "h_norm", "h_modulated", "ffn_gate_proj",
+                "ffn_up_proj", "ffn_silu_gate", "ffn_gated", "ffn_out",
+                "gated_ffn", "layer_out"):
+        assert key in subs, key
+    np.testing.assert_allclose(subs["layer_in"], stages["prior"], atol=1e-6)
+    # softmax rows sum to 1
+    np.testing.assert_allclose(subs["attn_probs"].sum(-1), 1.0, atol=1e-5)
+
+    n_layers = jax.tree_util.tree_leaves(
+        params["decoder_blocks"])[0].shape[0]
+    last, max_diff_last = codec_decoder_layer_substeps(
+        params, codes, emb, cfg, n_layers - 1)
+    assert max_diff_last < 1e-5
+    np.testing.assert_allclose(last["layer_out"], stages["decoder"],
+                               atol=1e-4)
+    with pytest.raises(ValueError):
+        codec_decoder_layer_substeps(params, codes, emb, cfg, n_layers)
+
+
 def test_bucketed_decode_matches_unpadded(tiny_codec, rng):
     """Decoding T codes padded to a larger bucket with n_real=T must equal
     the unpadded decode on the real prefix — attention masking, masked

@@ -82,6 +82,22 @@ def test_debug_decoder_npz_roundtrip(paths, tmp_path):
     assert r2.returncode == 0, r2.stderr
 
 
+def test_debug_decoder_substeps_cli(paths, tmp_path):
+    """--substeps N: sub-op dump + npz-diff workflow (the day-1 bisection
+    tool when real checkpoints land)."""
+    d, codec, llm, emb = paths
+    npz = str(tmp_path / "substeps.npz")
+    r = run_tool("debug_decoder.py", "-c", codec, "-v", emb,
+                 "--codes", "1,2,3,4", "--substeps", "0", "--save-npz", npz)
+    assert r.returncode == 0, r.stderr
+    assert "manual-vs-production" in r.stdout
+    assert "attn_probs" in r.stdout
+    r2 = run_tool("debug_decoder.py", "-c", codec, "-v", emb,
+                  "--codes", "1,2,3,4", "--substeps", "0", "--diff", npz)
+    assert r2.returncode == 0, r2.stderr
+    assert "DIVERGES" not in r2.stdout
+
+
 def test_quantize_gguf(paths, tmp_path):
     d, codec, llm, emb = paths
     out = str(tmp_path / "codec.q8_0.gguf")

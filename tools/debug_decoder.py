@@ -8,6 +8,10 @@ activations as an .npz golden for cross-implementation diffing.
 
 Usage: debug_decoder.py -c CODEC.gguf -v VOICE.emb.gguf
        [--codes 100,200,...] [--save-npz stages.npz] [--diff other.npz]
+       [--substeps LAYER]   # bisect SUB-OPS inside one wave_decoder layer
+                            # (cond-proj, modulated norm, QKV, RoPE, probs,
+                            # gated residuals, SwiGLU — the reference's
+                            # debug_decoder_substeps.py:75-229 granularity)
 """
 
 import argparse
@@ -26,12 +30,17 @@ def main() -> int:
     ap.add_argument("--save-npz", default="")
     ap.add_argument("--diff", default="",
                     help="compare against a previously saved .npz")
+    ap.add_argument("--substeps", type=int, default=-1, metavar="LAYER",
+                    help="expand wave_decoder layer LAYER op by op instead "
+                         "of the whole-stage dump")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")
     from miotts_tpu.gguf import GGUFReader, load_voice_embedding
-    from miotts_tpu.models.codec import codec_decode_stages, load_codec_params
+    from miotts_tpu.models.codec import (
+        codec_decode_stages, codec_decoder_layer_substeps, load_codec_params,
+    )
 
     codes = ([int(c) for c in args.codes.split(",")] if args.codes
              else [100, 200, 300, 400, 500, 600, 700, 800, 900, 1000,
@@ -42,8 +51,15 @@ def main() -> int:
     vmax = params["token_embd"].shape[0] - 1
     codes = [min(c, vmax) for c in codes]
 
-    stages, (log_mag, phase) = codec_decode_stages(params, codes, emb, cfg)
-    print(f"{len(codes)} codes -> {log_mag.shape[0]} STFT frames")
+    if args.substeps >= 0:
+        stages, max_diff = codec_decoder_layer_substeps(
+            params, codes, emb, cfg, layer=args.substeps)
+        print(f"wave_decoder layer {args.substeps} sub-ops "
+              f"({len(codes)} codes):")
+        print(f"  manual-vs-production layer max diff: {max_diff:.3e}")
+    else:
+        stages, (log_mag, phase) = codec_decode_stages(params, codes, emb, cfg)
+        print(f"{len(codes)} codes -> {log_mag.shape[0]} STFT frames")
     for name, x in stages.items():
         print(f"  {name:16s} shape={str(tuple(x.shape)):16s} "
               f"min={x.min():+.4f} max={x.max():+.4f} "
