@@ -152,8 +152,12 @@ class Tokenizer:
     def _spm_encode(self, text: str, first: bool) -> list[int]:
         """llama.cpp llm_tokenizer_spm: whitespace -> U+2581, optional space
         prefix, then greedy best-score bigram merging over the vocab with
-        <0xNN> byte fallback."""
-        if first and self.add_space_prefix and text and not text.startswith(" "):
+        <0xNN> byte fallback.
+
+        The dummy prefix is UNCONDITIONAL (sentencepiece add_dummy_prefix
+        semantics): text already starting with a space still gets one more,
+        e.g. " x" -> "▁▁x"."""
+        if first and self.add_space_prefix and text:
             text = " " + text
         text = text.replace(" ", "▁")
         if not text:

@@ -186,6 +186,39 @@ def test_spm_whitespace_handling():
     assert tok.decode(ids) == " hello hello"
 
 
+def test_spm_dummy_prefix_unconditional():
+    """sentencepiece add_dummy_prefix prepends the escape space even when
+    the text already starts with one: ' hello' -> '▁▁hello' (NOT collapsed
+    to '▁hello' — that would change round-tripped audio prompts)."""
+    tok = _spm_tokenizer()
+    ids = tok.encode(" hello", add_special=False)
+    pieces = [tok.tokens[i] for i in ids]
+    assert pieces == ["▁", "▁hello"]
+    assert tok.decode(ids) == "  hello"
+
+
+def test_spm_score_greedy_beats_merge_rules():
+    """llama.cpp SPM merges the highest-SCORE adjacent pair anywhere in the
+    word (sentencepiece semantics) — not a BPE merge-rule table.  With
+    score('he') > score('ll'), 'hell' must assemble via he+l+l -> he,ll ->
+    hell regardless of any rule ordering."""
+    tok = _spm_tokenizer()
+    ids = tok.encode("hell", add_special=False)
+    # '▁' + 'hell' have no combined piece '▁hell', so they stay split
+    assert [tok.tokens[i] for i in ids] == ["▁", "hell"]
+
+
+def test_spm_multicodepoint_byte_fallback():
+    """A symbol outside the vocab falls back to one <0xNN> token PER UTF-8
+    BYTE — a 4-byte emoji yields four byte tokens, and decode restores it."""
+    tok = _spm_tokenizer()
+    ids = tok.encode("🎉", add_special=False)
+    pieces = [tok.tokens[i] for i in ids]
+    assert pieces[0] == "▁"
+    assert pieces[1:] == ["<0xF0>", "<0x9F>", "<0x8E>", "<0x89>"]
+    assert tok.decode(ids) == " 🎉"
+
+
 def test_spm_space_prefix_after_special():
     """llama.cpp SPM sets is_prev_special=true after every special-token
     fragment, so raw text FOLLOWING a mid-text special also gets the dummy
