@@ -190,7 +190,9 @@ def cmd_serve(args) -> int:
     if not voices:
         print(f"Error: no *.emb.gguf files in {args.voices_dir}", file=sys.stderr)
         return 1
-    serve(engine, voices, host=args.host, port=args.port, n_slots=args.slots)
+    serve(engine, voices, host=args.host, port=args.port, n_slots=args.slots,
+          request_timeout_sec=(args.request_timeout
+                               if args.request_timeout > 0 else None))
     return 0
 
 
@@ -247,6 +249,9 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--request-timeout", type=float, default=0.0,
+                   help="cancel requests running longer than this many "
+                        "seconds (0 = unlimited)")
     p.add_argument("-t", "--temp", type=float, default=0.8)
     p.add_argument("--max-tokens", type=int, default=700)
     p.add_argument("--seed", type=int, default=42)

@@ -35,7 +35,8 @@ from .engine import Options, TTSEngine, VoiceModel
 
 class TTSServer:
     def __init__(self, engine: TTSEngine, voices: dict[str, VoiceModel],
-                 n_slots: int = 8, default_voice: str | None = None):
+                 n_slots: int = 8, default_voice: str | None = None,
+                 request_timeout_sec: float | None = None):
         self.engine = engine
         self.voices = voices
         self.default_voice = default_voice or next(iter(voices), None)
@@ -43,6 +44,10 @@ class TTSServer:
         # per-request chunk-queue capacity (~24 s of audio at the default
         # 4096-sample chunks); a client further behind than this is dead
         self.queue_cap = 256
+        # wall-clock budget per request; exceeded -> cancelled at the next
+        # scheduler callback (None = unlimited)
+        self.request_timeout_sec = request_timeout_sec
+        self.draining = False
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._scheduler, daemon=True)
@@ -52,6 +57,18 @@ class TTSServer:
 
     def stop(self):
         self._stop.set()
+
+    def shutdown(self, drain_timeout_sec: float = 30.0) -> bool:
+        """Graceful shutdown: refuse new requests (503), keep stepping until
+        every in-flight request finishes (or the drain budget runs out),
+        then stop the scheduler.  Returns True when fully drained."""
+        self.draining = True
+        deadline = time.monotonic() + drain_timeout_sec
+        while self.batcher.pending and time.monotonic() < deadline:
+            time.sleep(0.01)
+        drained = self.batcher.pending == 0
+        self._stop.set()
+        return drained
 
     def _scheduler(self):
         while not self._stop.is_set():
@@ -66,18 +83,23 @@ class TTSServer:
                options: Options) -> "_StreamHandle":
         """Submit a request; returns a handle whose queue yields
         (samples|None, is_last)."""
+        if self.draining:
+            raise RuntimeError("server is shutting down")
         vname = voice_name or self.default_voice
         if vname not in self.voices:
             raise KeyError(f"unknown voice '{vname}'")
         h = _StreamHandle(self.queue_cap)
+        if self.request_timeout_sec is not None:
+            h.deadline = time.monotonic() + self.request_timeout_sec
 
         # The callback runs on the scheduler thread under self._lock, so it
         # must NEVER block: a dead or hopelessly slow client (queue full =
         # ~24 s of audio backlog) cancels its own request by returning
         # False instead of stalling every other stream.
         def cb(samples, sr, is_last):
-            if is_last:
-                h.final_sent = True
+            if h.deadline is not None and time.monotonic() > h.deadline:
+                h.timed_out = True
+                h.abandoned = True
             if h.abandoned:
                 return False
             try:
@@ -86,17 +108,28 @@ class TTSServer:
             except queue.Full:
                 h.abandoned = True
                 return False
+            # only a DELIVERED final counts (a dropped one would leave the
+            # handler blocked on the queue forever)
+            if is_last:
+                h.final_sent = True
             return True
 
         def on_finish(req):
-            # a request may finish without a final callback (e.g. zero
-            # speech codes generated); always release the waiting handler
+            # a request may finish without a delivered final callback (zero
+            # speech codes, cancellation, queue-full on the last chunk);
+            # ALWAYS release the waiting handler — evicting stale audio
+            # chunks if the queue is full (the request is over either way)
             if not h.final_sent:
                 h.final_sent = True
-                try:
-                    h.q.put_nowait((None, True))
-                except queue.Full:
-                    pass  # handler is gone; nothing is waiting
+                while True:
+                    try:
+                        h.q.put_nowait((None, True))
+                        break
+                    except queue.Full:
+                        try:
+                            h.q.get_nowait()
+                        except queue.Empty:
+                            continue
         with self._lock:
             self.batcher.submit(text, self.voices[vname], cb, options,
                                 on_finish=on_finish)
@@ -110,6 +143,8 @@ class _StreamHandle:
         self.q: queue.Queue = queue.Queue(maxsize=maxsize)
         self.abandoned = False   # handler died / stopped draining
         self.final_sent = False
+        self.timed_out = False
+        self.deadline: float | None = None   # monotonic cancel-after
 
 
 def _make_handler(server: TTSServer):
@@ -169,7 +204,23 @@ def _make_handler(server: TTSServer):
                 handle = server.submit(text, req.get("voice"), options)
             except KeyError as e:
                 return self._json(400, {"error": str(e)})
+            except RuntimeError as e:
+                # graceful shutdown: refuse new work, let in-flight drain
+                return self._json(503, {"error": str(e)})
             chunks_q = handle.q
+
+            def next_chunk():
+                """Queue get bounded by the request deadline (+grace for the
+                cancel round-trip through the scheduler)."""
+                if handle.deadline is None:
+                    return chunks_q.get()
+                budget = max(0.05, handle.deadline + 5.0 - time.monotonic())
+                try:
+                    return chunks_q.get(timeout=budget)
+                except queue.Empty:
+                    handle.timed_out = True
+                    handle.abandoned = True
+                    return None, True
 
             sr = engine.sample_rate
             if fmt == "pcm":
@@ -183,7 +234,7 @@ def _make_handler(server: TTSServer):
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
                     while True:
-                        samples, is_last = chunks_q.get()
+                        samples, is_last = next_chunk()
                         if samples is not None and len(samples):
                             pcm = f32_to_s16(samples).astype(
                                 "<i2").tobytes()
@@ -200,13 +251,15 @@ def _make_handler(server: TTSServer):
             parts = []
             try:
                 while True:
-                    samples, is_last = chunks_q.get()
+                    samples, is_last = next_chunk()
                     if samples is not None:
                         parts.append(samples)
                     if is_last:
                         break
             finally:
                 handle.abandoned = True
+            if handle.timed_out and not parts:
+                return self._json(504, {"error": "request timed out"})
             audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
             import io
             import struct
@@ -224,9 +277,12 @@ def _make_handler(server: TTSServer):
 
 
 def serve(engine: TTSEngine, voices: dict[str, VoiceModel],
-          host: str = "127.0.0.1", port: int = 8080, n_slots: int = 8):
-    """Run the TTS HTTP server (blocking)."""
-    srv = TTSServer(engine, voices, n_slots=n_slots)
+          host: str = "127.0.0.1", port: int = 8080, n_slots: int = 8,
+          request_timeout_sec: float | None = None):
+    """Run the TTS HTTP server (blocking).  On interrupt, drains in-flight
+    requests (new ones get 503) before stopping the scheduler."""
+    srv = TTSServer(engine, voices, n_slots=n_slots,
+                    request_timeout_sec=request_timeout_sec)
     srv.start_scheduler()
     httpd = ThreadingHTTPServer((host, port), _make_handler(srv))
     print(f"miotts serving on http://{host}:{port} "
@@ -234,4 +290,4 @@ def serve(engine: TTSEngine, voices: dict[str, VoiceModel],
     try:
         httpd.serve_forever()
     finally:
-        srv.stop()
+        srv.shutdown()
