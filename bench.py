@@ -165,6 +165,32 @@ def main() -> int:
     if ttfas:
         metrics["bench.p50_first_audio_sec"] = sorted(ttfas)[len(ttfas) // 2]
     metrics["bench.model"] = MODEL
+
+    # Flagship north-star config: 64 concurrent 2.6B-Q4_K streams through
+    # the continuous batcher (BASELINE.json config 5 shape).  Subprocess-
+    # isolated with a hard timeout so a relay stall cannot sink the whole
+    # bench; skipped when a specific model was requested via env.
+    if (os.environ.get("MIOTTS_BENCH_FLAGSHIP", "1") == "1"
+            and "MIOTTS_BENCH_MODEL" not in os.environ):
+        import subprocess
+        log("bench: flagship 64-stream 2.6b-q4_k batched serving ...")
+        env = dict(os.environ, MIOTTS_BENCH_MODEL="2.6b-q4_k")
+        try:
+            r = subprocess.run(
+                [sys.executable, "benchmarks/bench_batch.py", "64", "96"],
+                env=env, capture_output=True, text=True, timeout=3300)
+            for line in r.stderr.splitlines()[-8:]:
+                log(f"  flagship| {line}")
+            last = (r.stdout.strip().splitlines() or [""])[-1]
+            fl = json.loads(last)
+            metrics["bench.flagship.aggregate_x_realtime"] = fl["value"]
+            metrics["bench.flagship.per_stream_x_realtime"] = fl["vs_baseline"]
+            if "ttfa_p50_sec" in fl:
+                metrics["bench.flagship.ttfa_p50_sec"] = fl["ttfa_p50_sec"]
+            metrics["bench.flagship.model"] = "2.6b-q4_k x64 streams"
+        except Exception as e:  # timeout, parse failure, crash
+            log(f"bench: flagship run failed: {e!r}")
+
     for k, v in sorted(metrics.items()):
         log(f"  {k} = {v:.6f}" if isinstance(v, float) else f"  {k} = {v}")
 

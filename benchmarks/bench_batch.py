@@ -86,16 +86,17 @@ def main() -> int:
               + " ".join(f"{k}={v:.2f}" if k.endswith("_sec") else f"{k}={v}"
                          for k, v in st.items())
               + f" other={wall - acc:.2f}", file=sys.stderr, flush=True)
-        return wall, total_audio, agg, per_stream
+        return wall, total_audio, agg, per_stream, ttfa_p50
 
     run_once("warm")                    # absorbs first-execution stalls
-    wall, total_audio, agg, per_stream = run_once("timed")
+    wall, total_audio, agg, per_stream, ttfa_p50 = run_once("timed")
 
     print(json.dumps({
         "metric": "batch_bench.aggregate_x_realtime",
         "value": round(agg, 4),
         "unit": f"audio_sec/wall_sec@{n_streams}streams",
         "vs_baseline": round(per_stream, 4),
+        "ttfa_p50_sec": round(ttfa_p50, 4),
     }))
     return 0
 

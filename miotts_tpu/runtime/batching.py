@@ -282,7 +282,11 @@ class ContinuousBatcher:
                   else max(len(req.codes) - cfgE.holdback_codes, 0))
         if target <= req.committed:
             return ("final_cb", None) if is_final else ("done", True)
-        if not is_final and (target - req.committed) < cfgE.min_commit_step_codes:
+        # first emission uses the smaller first-commit threshold (TTFA
+        # lever); the holdback right-context contract is unchanged
+        min_eff = (self.engine._first_commit if req.committed == 0
+                   else cfgE.min_commit_step_codes)
+        if not is_final and (target - req.committed) < min_eff:
             return ("done", True)
         return ("decode", target)
 
@@ -556,7 +560,7 @@ class ContinuousBatcher:
             jnp.asarray(committed), jnp.asarray(n_tok), jnp.asarray(max_toks),
             self._embs, self.cfg, eng.codec_cfg, self.chunk_steps,
             self._codes_bucket, cfgE.holdback_codes,
-            cfgE.min_commit_step_codes)
+            cfgE.min_commit_step_codes, eng._first_commit)
         t0 = time.perf_counter()
         buf_h, active_h, emit_h, target_h = jax.device_get(
             (buf, active_dev, emit_dev, target_dev))

@@ -46,14 +46,15 @@ StreamCallback = Callable[[Optional[np.ndarray], int, bool], bool]
 
 @partial(jax.jit,
          static_argnames=("llm_cfg", "codec_cfg", "n_steps", "code_bucket",
-                          "holdback", "min_step", "win_slide", "final_flush"),
+                          "holdback", "min_step", "win_slide", "final_flush",
+                          "first_commit"),
          donate_argnames=("cache", "codes_buf"))
 def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
                        temperature, stop_ids, code_table, codes_buf, n_codes,
                        committed, stopped, n_tokens, max_toks, voice_emb,
                        llm_cfg, codec_cfg, n_steps: int, code_bucket: int,
                        holdback: int, min_step: int, win_slide: bool = False,
-                       final_flush: bool = False):
+                       final_flush: bool = False, first_commit: int = -1):
     """One streaming step, fully fused into a single executable: generate a
     chunk of tokens (on-device while_loop), append their codec codes to the
     device-resident code buffer, evaluate the commit-holdback policy
@@ -126,9 +127,15 @@ def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
     # commit-holdback policy on device.  Reference cadence: emission only
     # after FULL chunks (test-to-speech.cpp:608) — partial chunks (stop /
     # budget) defer to the final flush, hence the (i == n_steps) gate.
+    # first emission uses the (smaller) first_commit threshold so audio
+    # starts one check interval earlier; later commits keep min_step.
+    # first_commit <= min_step (caller-clamped), so the k_codes transfer
+    # bound below still holds.
+    fc = min_step if first_commit < 0 else min(first_commit, min_step)
     target = jnp.maximum(n_codes - holdback, 0)
+    min_eff = jnp.where(committed == 0, fc, min_step)
     do_emit = (i == n_steps) & (n_codes > 0) & (target > committed) & \
-        ((target - committed) >= min_step)
+        ((target - committed) >= min_eff)
     begin = committed
     committed = jnp.where(do_emit, target, committed)
 
@@ -175,13 +182,13 @@ def _fused_stream_step(llm_params, codec_params, last_logits, cache, key,
 
 @partial(jax.jit,
          static_argnames=("llm_cfg", "codec_cfg", "n_steps", "code_bucket",
-                          "holdback", "min_step"),
+                          "holdback", "min_step", "first_commit"),
          donate_argnames=("cache", "codes_buf"))
 def _fused_batch_step(llm_params, codec_params, last_logits, cache, active,
                       key, temperature, stop_ids, code_table, codes_buf,
                       n_codes, committed, n_tokens, max_toks, embs,
                       llm_cfg, codec_cfg, n_steps: int, code_bucket: int,
-                      holdback: int, min_step: int):
+                      holdback: int, min_step: int, first_commit: int = -1):
     """Batched fused streaming step: the multi-slot analog of
     _fused_stream_step — batched chunk generation with per-slot stop/budget
     tracking and device-side code append, per-slot commit policy, and a
@@ -238,9 +245,11 @@ def _fused_batch_step(llm_params, codec_params, last_logits, cache, active,
                            (jnp.int32(0), active, last_logits, cache, key,
                             buf0, codes_buf, n_codes, n_tokens))
 
+    fc = min_step if first_commit < 0 else min(first_commit, min_step)
     target = jnp.maximum(n_codes - holdback, 0)
+    min_eff = jnp.where(committed == 0, fc, min_step)   # per-slot
     emit = active & (n_codes > 0) & (target > committed) & \
-        ((target - committed) >= min_step)
+        ((target - committed) >= min_eff)
 
     spt = codec_cfg.samples_per_token
 
@@ -341,6 +350,15 @@ class EngineConfig:
     stream_check_interval: int = 20
     holdback_codes: int = 32
     min_commit_step_codes: int = 24
+    # Smaller commit threshold for a stream's FIRST emission only: the
+    # 32-code holdback (quality contract) still applies, but the first
+    # commit goes out once holdback + first_commit codes exist instead of
+    # holdback + min_commit (56) — one full check interval earlier, which
+    # is the time-to-first-audio lever at high slot counts.  8 is tuned to
+    # the 20-token check cadence (first policy check with a committable
+    # target is at 40 codes: target = 40-32 = 8).  Set equal to
+    # min_commit_step_codes (or <=0) for the reference's uniform cadence.
+    first_commit_codes: int = 8
     chunk_samples: int = 4096
     # bucketing granularity (TPU-specific; compile-cache keys)
     prompt_bucket: int = 64
@@ -432,6 +450,12 @@ class VoiceModel:
 class TTSEngine:
     def __init__(self, config: EngineConfig):
         self.config = config
+        # effective first-commit threshold: <=0 disables the early first
+        # emission (reference-uniform cadence); never above min_commit
+        self._first_commit = (
+            min(config.first_commit_codes, config.min_commit_step_codes)
+            if config.first_commit_codes > 0
+            else config.min_commit_step_codes)
         self.llm_params = None
         self.llm_cfg: LLMConfig | None = None
         self.tokenizer: Tokenizer | None = None
@@ -582,7 +606,8 @@ class TTSEngine:
                         self.config.holdback_codes,
                         self.config.min_commit_step_codes,
                         self.config.stream_window_codes > 0,
-                        not self.config.stream_window_codes > 0)
+                        not self.config.stream_window_codes > 0,
+                        self._first_commit)
                     out[0].block_until_ready()
                     _mark(f"fused stream step bucket={b}")
                     last, cache = out[3], out[4]
@@ -1040,7 +1065,8 @@ class TTSEngine:
                 n_codes_dev, committed_dev, stopped_dev, n_tokens_dev,
                 max_toks_dev, emb, cfg, cfgc,
                 chunk, cur_bucket, cfgE.holdback_codes,
-                cfgE.min_commit_step_codes, win_mode, not win_mode)
+                cfgE.min_commit_step_codes, win_mode, not win_mode,
+                self._first_commit)
             profile.llm_sec += time.perf_counter() - t1
             (_, _, stopped_dev, last, cache, key, codes_buf, n_codes_dev,
              committed_dev, n_tokens_dev) = outs[:10]
@@ -1209,7 +1235,9 @@ class TTSEngine:
                         return False
                     return timed_callback(None, True)
                 return True
-            if not is_final and (target - committed) < self.config.min_commit_step_codes:
+            min_eff = (self._first_commit if committed == 0
+                       else self.config.min_commit_step_codes)
+            if not is_final and (target - committed) < min_eff:
                 return True
             # quality-first default: re-decode the FULL accumulated prefix;
             # with stream_window_codes > 0, re-decode only the trailing

@@ -96,12 +96,15 @@ def test_multi_emit_policy(engine, rng):
 
 
 def test_emit_thresholds(engine, rng):
-    """No emission before holdback+min_step codes accumulate; exactly one
-    final flush for short sequences."""
+    """First-commit policy: with the default first_commit_codes=8, 40 codes
+    (target 8) emit one early chunk + the final flush; with the
+    reference-uniform cadence (first_commit == min_commit) nothing emits
+    before holdback+min_step and all audio arrives in the final flush."""
     eng, voice = engine
     orig = eng.generate_tokens
+    orig_fc = eng._first_commit
     try:
-        codes = rng.integers(0, 64, 40)  # 40 - 32 holdback = 8 < 24 min step
+        codes = rng.integers(0, 64, 40)  # 40 - 32 holdback = 8
         _scripted(eng, codes)
         events = []
 
@@ -114,12 +117,24 @@ def test_emit_thresholds(engine, rng):
                                    options=Options(max_tokens=500),
                                    profile=profile)
         assert ok
-        # all audio arrived in the final flush (one decode call)
-        assert profile.decode_calls == 1
+        # default: early first commit (8 >= first_commit_codes) + final
+        assert profile.decode_calls == 2
         total = sum(n for n, _ in events)
         assert total == 40 * eng.samples_per_token
+
+        # reference-uniform cadence: single final flush
+        eng._first_commit = eng.config.min_commit_step_codes
+        events.clear()
+        profile = StreamProfile()
+        ok = eng.synthesize_stream(voice, "ignored", cb,
+                                   options=Options(max_tokens=500),
+                                   profile=profile)
+        assert ok
+        assert profile.decode_calls == 1
+        assert sum(n for n, _ in events) == 40 * eng.samples_per_token
     finally:
         eng.generate_tokens = orig
+        eng._first_commit = orig_fc
 
 
 def test_windowed_streaming_unfused(engine, rng):
