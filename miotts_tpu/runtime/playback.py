@@ -74,6 +74,11 @@ class BoundedSampleQueue:
         with self._cv:
             return self._n
 
+    @property
+    def closed(self) -> bool:
+        with self._cv:
+            return self._closed
+
     def close(self) -> None:
         with self._cv:
             self._closed = True
@@ -106,8 +111,14 @@ class PCMSink:
             if avail == 0:
                 if self._stop.is_set():
                     break
-                time.sleep(0.005)
-                continue
+                # A real device clock keeps ticking through a TOTAL underrun
+                # and plays silence (stream-to-device.cpp:169-177); the
+                # paced sink does the same once playback has started.  An
+                # idle (pre-start / post-close) sink just waits.
+                if not (self.pace and self.consumed > 0
+                        and not self.queue.closed):
+                    time.sleep(0.005)
+                    continue
             # Real-time (paced) mode zero-fills underruns like a device
             # callback; file/stdout sinks write exactly what was produced.
             n = self.block if self.pace else min(self.block, avail)

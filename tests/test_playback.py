@@ -38,6 +38,54 @@ def test_queue_backpressure_blocks_until_closed():
     assert q.push(np.zeros(1, np.float32)) is False
 
 
+def test_paced_sink_underrun_and_clock():
+    """Paced (device-clock) consumption end-to-end: a producer that lags
+    behind realtime forces underruns which the sink zero-fills mid-stream
+    (stream-to-device.cpp:169-177 semantics), and consumption advances at
+    roughly the sample-rate clock, not as fast as the producer can push."""
+    import threading
+    import time
+
+    from miotts_tpu.runtime.playback import PCMSink
+
+    sr = 8000
+    block = 400                       # 50 ms device period
+    q = BoundedSampleQueue(sr * 10)
+    buf = io.BytesIO()
+    sink = PCMSink(q, buf, sr, block=block, pace_realtime=True)
+
+    # producer: 3 bursts of 0.1 s of ones, separated by 0.25 s gaps — the
+    # paced consumer (zero-fill on partial reads) must hit gaps of silence
+    def produce():
+        for _ in range(3):
+            q.push(np.ones(sr // 10, np.float32))
+            time.sleep(0.25)
+
+    t0 = time.perf_counter()
+    prod = threading.Thread(target=produce)
+    prod.start()
+    sink.start()
+    prod.join(timeout=5)
+    q.drain_wait()
+    wall = time.perf_counter() - t0
+    sink.stop()
+    q.close()
+
+    pcm = np.frombuffer(buf.getvalue(), dtype="<i2").astype(np.float32)
+    ones = int((np.abs(pcm) > 16000).sum())
+    # every produced sample eventually went out
+    assert ones == 3 * (sr // 10)
+    # underrun: zero-filled silence BETWEEN bursts (not only trailing)
+    nz = np.nonzero(np.abs(pcm) > 16000)[0]
+    span = nz[-1] - nz[0] + 1
+    assert span > ones, "no mid-stream zero-fill gaps found"
+    # the paced clock: consuming ~0.8 s of timeline takes >= ~0.45 s wall
+    # (an unpaced sink would finish in milliseconds)
+    assert wall >= 0.45
+    # consumed counter includes the zero-filled device periods
+    assert sink.consumed >= len(pcm) - block
+
+
 def test_stream_to_sink_end_to_end(tmp_path, rng):
     from miotts_tpu.gguf import write_voice_embedding
     from miotts_tpu.models.synthetic import write_synthetic_codec
