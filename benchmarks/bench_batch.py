@@ -37,7 +37,8 @@ def main() -> int:
         model_path=llm_path, codec_path=codec_path, max_tokens=max_tokens,
         codec_fast=os.environ.get("MIOTTS_BENCH_CODEC_FAST", "") == "1",
         i16_transfer=os.environ.get("MIOTTS_BENCH_I16", "") == "1",
-        pipeline_codec=os.environ.get("MIOTTS_BENCH_PIPE", "") == "1"))
+        pipeline_codec=os.environ.get("MIOTTS_BENCH_PIPE", "") == "1",
+        first_commit_codes=int(os.environ.get("MIOTTS_FIRST_COMMIT", "8"))))
     voice = VoiceModel(emb_path)
     print(f"bench_batch: warming up (slots={n_slots})...", file=sys.stderr, flush=True)
     engine.warmup(max_codes=max_tokens, prompt_len=80)
