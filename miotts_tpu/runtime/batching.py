@@ -464,9 +464,14 @@ class ContinuousBatcher:
                 # non-final commits: dispatch ONE batched decode and defer
                 # its materialization to the next step (it runs on the codec
                 # device while the next LLM chunk runs); finals stay
-                # synchronous — their audio is needed to finish the request
-                deferred = [(r, t, s) for (r, t, f), s in sync_work if not f]
-                sync_work = [w for w in sync_work if w[0][2]]
+                # synchronous — their audio is needed to finish the request.
+                # A stream's FIRST commit also stays synchronous: deferring
+                # it would add one whole check interval to time-to-first-
+                # audio for zero pipeline benefit at admission waves.
+                deferred = [(r, t, s) for (r, t, f), s in sync_work
+                            if not f and r.committed > 0]
+                sync_work = [((r, t, f), s) for (r, t, f), s in sync_work
+                             if f or r.committed == 0]
                 if deferred:
                     spt = self.engine.codec_cfg.samples_per_token
                     t0 = time.perf_counter()
