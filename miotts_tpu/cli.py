@@ -265,6 +265,14 @@ def main(argv=None) -> int:
     if not getattr(args, "fn", None):
         parser.print_help()
         return 1
+    # MIOTTS_PLATFORM=cpu|tpu pins the JAX backend regardless of any
+    # environment-level default (this image pins a tunneled TPU via
+    # sitecustomize, which ignores JAX_PLATFORMS) — used by the offline
+    # parity battery to keep debug runs off the serving chip.
+    plat = __import__("os").environ.get("MIOTTS_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     return args.fn(args)
 
 
