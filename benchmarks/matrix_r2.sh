@@ -9,18 +9,7 @@ OUT="${1:-benchmarks/matrix_r2}"
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
-run() {  # run <name> <env...> -- <cmd...>
-    local name="$1"; shift
-    local envs=()
-    while [ "$1" != "--" ]; do envs+=("$1"); shift; done
-    shift
-    if [ -s "$OUT/$name.done" ]; then echo "=== $name (cached)"; return; fi
-    echo "=== $name ==="
-    env "${envs[@]}" timeout 3600 "$@" >"$OUT/$name.log" 2>&1
-    local rc=$?
-    echo "--- $name: rc=$rc $(tail -1 "$OUT/$name.log")"
-    [ $rc -eq 0 ] && echo ok >"$OUT/$name.done"
-}
+. benchmarks/run_matrix_lib.sh   # after the cd above: repo root
 
 # Cold-start probe (VERDICT item 5): two fresh processes back to back at
 # 0.1B with per-executable warmup timing; the second run measures what the

@@ -9,18 +9,7 @@ OUT="${1:-benchmarks/matrix_r2}"
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
-run() {
-    local name="$1"; shift
-    local envs=()
-    while [ "$1" != "--" ]; do envs+=("$1"); shift; done
-    shift
-    if [ -s "$OUT/$name.done" ]; then echo "=== $name (cached)"; return; fi
-    echo "=== $name ==="
-    env "${envs[@]}" timeout 3600 "$@" >"$OUT/$name.log" 2>&1
-    local rc=$?
-    echo "--- $name: rc=$rc $(tail -1 "$OUT/$name.log")"
-    [ $rc -eq 0 ] && echo ok >"$OUT/$name.done"
-}
+. benchmarks/run_matrix_lib.sh   # after the cd above: repo root
 
 # retry: 1.7B single-stream (phase-1 run lost to a >1h relay stall)
 run single_1.7b-q6_k_r MIOTTS_BENCH_MODEL=1.7b-q6_k -- python bench.py

@@ -324,6 +324,22 @@ def _resnet_block(x, p, n_groups, eps, mask):
     return x + r
 
 
+def _decoder_layer(x, p, cond, pos, bias, n_head, theta, eps):
+    """One wave_decoder AdaLN-Zero layer (`miocodec.cpp:310-355`): the
+    SINGLE definition used by both the scanned production forward and the
+    sub-op bisection tool's prefix replay — so the debug tool can never
+    silently validate against stale math."""
+    sh, sc, g = _adaln3(cond, p["attn_cond_w"], p["attn_cond_b"])
+    h = _adaln_norm(x, sh, sc, eps)
+    h = _local_attention(h, p["wq"], p["wk"], p["wv"], p["wo"],
+                         pos, bias, n_head, theta)
+    x = x + h * g
+    sh, sc, g = _adaln3(cond, p["ffn_cond_w"], p["ffn_cond_b"])
+    h = _adaln_norm(x, sh, sc, eps)
+    h = _swiglu(h, p["w_gate"], p["w_up"], p["w_down"])
+    return x + h * g
+
+
 def _band_mask_bias(T: int, window: int, mask: jax.Array) -> jax.Array:
     """Additive attention bias: 0 inside |i-j| <= window//2 AND j valid,
     else -inf (`fill_local_attn_mask`, `miocodec.cpp:233-242`, plus bucket
@@ -400,15 +416,8 @@ def _codec_forward(params: dict, codes: jax.Array, voice_emb: jax.Array,
     bias_s = _band_mask_bias(S, cfg.decoder_window, mask_s)
 
     def decoder_layer(x, p):
-        sh, sc, g = _adaln3(voice_emb, p["attn_cond_w"], p["attn_cond_b"])
-        h = _adaln_norm(x, sh, sc, eps)
-        h = _local_attention(h, p["wq"], p["wk"], p["wv"], p["wo"],
-                             pos_s, bias_s, cfg.decoder_heads, cfg.rope_theta)
-        x = x + h * g
-        sh, sc, g = _adaln3(voice_emb, p["ffn_cond_w"], p["ffn_cond_b"])
-        h = _adaln_norm(x, sh, sc, eps)
-        h = _swiglu(h, p["w_gate"], p["w_up"], p["w_down"])
-        return x + h * g, None
+        return _decoder_layer(x, p, voice_emb, pos_s, bias_s,
+                              cfg.decoder_heads, cfg.rope_theta, eps), None
 
     x, _ = jax.lax.scan(decoder_layer, x, params["decoder_blocks"])
     tap("decoder", x)
@@ -515,15 +524,8 @@ def codec_decoder_layer_substeps(params: dict, codes, voice_emb,
     bias_s = _band_mask_bias(S, cfg.decoder_window, mask_s)
 
     def layer_step(x, p):
-        sh, sc, g = _adaln3(cond, p["attn_cond_w"], p["attn_cond_b"])
-        h = _adaln_norm(x, sh, sc, eps)
-        h = _local_attention(h, p["wq"], p["wk"], p["wv"], p["wo"],
-                             pos_s, bias_s, cfg.decoder_heads, cfg.rope_theta)
-        x = x + h * g
-        sh, sc, g = _adaln3(cond, p["ffn_cond_w"], p["ffn_cond_b"])
-        h = _adaln_norm(x, sh, sc, eps)
-        h = _swiglu(h, p["w_gate"], p["w_up"], p["w_down"])
-        return x + h * g
+        return _decoder_layer(x, p, cond, pos_s, bias_s,
+                              cfg.decoder_heads, cfg.rope_theta, eps)
 
     n_layers = jax.tree_util.tree_leaves(params["decoder_blocks"])[0].shape[0]
     if not 0 <= layer < n_layers:

@@ -632,49 +632,54 @@ class TTSEngine:
         counts = Counter(profile.decode_bucket_codes)
         codec_total = 0.0
         istft_total = 0.0
+
+        def marginal(fn) -> float:
+            """Per-execution DEVICE time of `fn`, with the fixed dispatch /
+            relay round-trip cancelled: time reps and 2*reps back-to-back
+            dispatches (one scalar-fetch fence each — block_until_ready
+            returns early on this relay) and take the difference.  Inside
+            the fused executable there is no per-call dispatch, so the
+            marginal cost is the honest share to move."""
+            out = fn()
+            _sync(out)                       # warm (compile-cache hit)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn()
+            _sync(out)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(2 * reps):
+                out = fn()
+            _sync(out)
+            t2 = time.perf_counter() - t0
+            return max(0.0, (t2 - t1) / reps)
+
         for b, n_calls in sorted(counts.items()):
             codes = jnp.zeros((b,), jnp.int32)
             n_real = jnp.asarray(b, jnp.int32)
-            # warm (compile-cache hit expected; the stream already used
-            # these buckets in fused form, warmup compiled the standalone
-            # forms)
             lm, ph = codec_decode_spec(self.codec_params, codes, emb, cfgc,
                                        n_real=n_real)
-            audio = spec_to_audio_bucketed(
+            codec_dt = marginal(lambda: codec_decode_spec(
+                self.codec_params, codes, emb, cfgc, n_real=n_real)[0])
+            istft_dt = marginal(lambda: spec_to_audio_bucketed(
                 lm, ph, self.codec_params["istft_cos_basis"],
                 self.codec_params["istft_sin_basis"],
                 self.codec_params["istft_hann"],
-                cfgc.hop_length, cfgc.total_upsample, n_real)
-            _sync(audio)
-            # Timed: dispatch `reps` back-to-back executions and fence once
-            # (block_until_ready returns before execution completes on the
-            # relay — a scalar fetch is the reliable fence), so per-call
-            # dispatch overhead is pipelined away like in serving.
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                lm, ph = codec_decode_spec(self.codec_params, codes, emb,
-                                           cfgc, n_real=n_real)
-            _sync(lm)
-            codec_dt = (time.perf_counter() - t0) / reps
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                audio = spec_to_audio_bucketed(
-                    lm, ph, self.codec_params["istft_cos_basis"],
-                    self.codec_params["istft_sin_basis"],
-                    self.codec_params["istft_hann"],
-                    cfgc.hop_length, cfgc.total_upsample, n_real)
-            _sync(audio)
-            istft_dt = (time.perf_counter() - t0) / reps
+                cfgc.hop_length, cfgc.total_upsample, n_real))
             codec_total += codec_dt * n_calls
             istft_total += istft_dt * n_calls
         moved = codec_total + istft_total
-        if moved > profile.llm_sec > 0:
-            # measurement noise exceeded the fused time — scale down so the
-            # stages still sum to the measured total
-            scale = profile.llm_sec / moved
+        cap = 0.9 * profile.llm_sec
+        if moved > cap > 0:
+            # the standalone measurement exceeded what the fused loop can
+            # possibly contain — residual noise; scale down but never zero
+            # the LLM share (the chunk generation is certainly not free)
+            scale = cap / moved
             codec_total *= scale
             istft_total *= scale
-            moved = profile.llm_sec
+            moved = cap
+        elif profile.llm_sec <= 0:
+            return profile
         profile.llm_sec -= moved
         profile.codec_sec += codec_total
         profile.istft_sec += istft_total
