@@ -10,7 +10,7 @@ run() {  # run <name> <env...> -- <cmd...>
     shift
     if [ -s "$OUT/$name.done" ]; then echo "=== $name (cached)"; return; fi
     echo "=== $name ==="
-    env "${envs[@]}" timeout 3600 "$@" >"$OUT/$name.log" 2>&1
+    env "${envs[@]}" timeout "${TMO:-3600}" "$@" >"$OUT/$name.log" 2>&1
     local rc=$?
     echo "--- $name: rc=$rc $(tail -1 "$OUT/$name.log")"
     [ $rc -eq 0 ] && echo ok >"$OUT/$name.done"
