@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from miotts_tpu.ops.qmat import QTensor, _qdot_pallas, _qdot_xla
+from miotts_tpu.ops.qmat import (QTensor, _qdot_group_pallas, _qdot_pallas,
+                                 _qdot_xla)
 
 try:
     from jax.experimental import pallas as pl
@@ -139,6 +140,15 @@ def main() -> int:
         elif name == "packed":
             qts = [make_qt(K, N, packed=True) for K, N in SHAPES]
             fns = [lambda x, qt=qt: _qdot_pallas(x, qt) for qt in qts]
+        elif name == "groupdot":
+            # scale-after-dot GEMV kernel (bf16 activations)
+            qts = [make_qt(K, N) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_group_pallas(
+                x.astype(jnp.bfloat16), qt) for qt in qts]
+        elif name == "groupdot_bf16s":
+            qts = [make_qt(K, N, jnp.bfloat16) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_group_pallas(
+                x.astype(jnp.bfloat16), qt) for qt in qts]
         elif name == "xla":
             qts = [make_qt(K, N) for K, N in SHAPES]
             fns = [lambda x, qt=qt: _qdot_xla(x, qt) for qt in qts]
@@ -147,8 +157,8 @@ def main() -> int:
             fns = [lambda x, qt=qt: dma_floor(x, qt) for qt in qts]
         return fns, sum(bytes_of(q) for q in qts)
 
-    names = sys.argv[2:] or ["pallas", "pallas_bf16s", "packed", "xla",
-                             "dma_floor"]
+    names = sys.argv[2:] or ["pallas", "pallas_bf16s", "groupdot",
+                             "groupdot_bf16s", "packed", "xla", "dma_floor"]
     for name in names:
         fns, nbytes = build(name)
         try:

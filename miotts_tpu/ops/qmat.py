@@ -224,6 +224,93 @@ def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
         o_ref[:] = acc_ref[:]
 
 
+def _qdot_group_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group,
+                       n_k_tiles):
+    """GEMV (M=1) variant that applies quant scales AFTER the dot.
+
+    The standard kernel's VPU dequant is 2 ops/weight (int8->f32 convert +
+    scale multiply) — measured to be the M=1 pole: shrinking scale bytes
+    12.5%->6% (bf16 scales) moved the 2.6B marginal 0% because the HBM read
+    was hiding behind the VPU work.  Here each quant group is contracted
+    SEPARATELY: the x row is expanded block-diagonally to [G, K_t]
+    (xb[g, k] = x[k] iff k//group == g), one dot yields per-group partial
+    sums d [G, N_t], and the scale rides d (2/group ops per weight) instead
+    of the weights (1/weight).  MXU cost is identical to the plain GEMV:
+    G <= 128 rows land in the same padded 128-sublane M-block the M=1 dot
+    already wastes.  bf16 is exact here: int8 values and bf16-sourced
+    activations are represented exactly, products accumulate in f32.
+
+    Blocks: x [1, K_t] bf16, v int8 [K_t, N_t], s [K_t//g, N_t],
+    out/acc [1, N_t] f32."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    v = v_ref[:].astype(jnp.bfloat16)          # [K_t, N_t]
+    k_t = v.shape[0]
+    g_rows = k_t // group
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (g_rows, k_t), 1)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (g_rows, k_t), 0)
+    xb = jnp.where(k_ids // group == g_ids,
+                   jnp.broadcast_to(x_ref[:], (g_rows, k_t)),
+                   jnp.bfloat16(0))            # [G, K_t]
+    d = jax.lax.dot_general(xb, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [G, N_t]
+    acc_ref[:] += jnp.sum(d * s_ref[:].astype(jnp.float32), axis=0,
+                          keepdims=True)
+
+    @pl.when(k_idx == n_k_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _use_groupdot() -> bool:
+    return os.environ.get("MIOTTS_QDOT_GROUPDOT", "") == "1"
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _qdot_group_pallas(x: jax.Array, qt: QTensor,
+                       interpret: bool = False) -> jax.Array:
+    """Scale-after-dot GEMV path (see _qdot_group_kernel).  x [1, K]."""
+    M, K = x.shape
+    N = qt.values.shape[1]
+    g = qt.group
+    TILE_N = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    TILE_K = K
+    # v tile <= ~512 KB; keep G = TILE_K/g <= 128 so the block-diagonal x
+    # rows stay inside the one padded MXU M-block (same MXU cost as M=1)
+    while ((TILE_N * TILE_K > 512 * 1024 or TILE_K // g > 128)
+           and TILE_K % 2 == 0 and (TILE_K // 2) % max(128, 8 * g) == 0):
+        TILE_K //= 2
+    n_k_tiles = K // TILE_K
+
+    xb = x.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        partial(_qdot_group_kernel, group=g, n_k_tiles=n_k_tiles),
+        grid=(1, N // TILE_N, n_k_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE_K), lambda m, i, j: (0, j)),
+            pl.BlockSpec((TILE_K, TILE_N), lambda m, i, j: (j, i)),
+            pl.BlockSpec((TILE_K // g, TILE_N), lambda m, i, j: (j, i)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_N), lambda m, i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, TILE_N), jnp.float32)],
+        interpret=interpret,
+    )(xb, qt.values, qt.scales)
+
+    if qt.mins is not None:
+        xg = x.astype(jnp.float32).reshape(M, K // g, g).sum(axis=2)
+        out = out - jax.lax.dot_general(
+            xg, qt.mins.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if qt.n_out > 0 and qt.n_out != N:
+        out = out[:, : qt.n_out]
+    return out.astype(x.dtype)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Array:
     """Fused dequant+matmul Pallas kernel.  x [M, K] f32/bf16 -> [M, N].
@@ -422,7 +509,13 @@ def qdot(x: jax.Array, w) -> jax.Array:
                      and K % 128 == 0 and K % w.group == 0
                      and w.values.shape[1] % 128 == 0)
         if pallas_ok:
-            y = _qdot_pallas(x2, w)
+            # scale-after-dot GEMV variant (opt-in while being measured):
+            # M=1, unpacked values, bf16-sourced activations only
+            if (_use_groupdot() and x2.shape[0] == 1 and not w.packed
+                    and x.dtype == jnp.bfloat16):
+                y = _qdot_group_pallas(x2, w)
+            else:
+                y = _qdot_pallas(x2, w)
         else:
             y = _qdot_xla(x2, w)
         return y.reshape(*lead, -1)

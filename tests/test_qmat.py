@@ -61,6 +61,51 @@ def test_qdot_pallas_interpret_matches_xla(gtype, rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("gtype", [GGML_Q8_0, GGML_Q6_K, GGML_Q4_K])
+def test_qdot_groupdot_interpret_matches_xla(gtype, rng):
+    """Scale-after-dot GEMV kernel == XLA path at bf16-activation precision
+    (the variant contracts each quant group separately and scales the
+    per-group partial sums; bf16 represents int8 values and bf16-sourced
+    activations exactly, so the only tolerance is the f32-vs-exact
+    accumulation order)."""
+    from miotts_tpu.ops.qmat import _qdot_group_pallas
+    qt, ref = _make_qt(gtype, 256, 512, rng)
+    x = jnp.asarray(rng.standard_normal((1, 512)), jnp.bfloat16)
+    want = np.asarray(x.astype(jnp.float32)) @ ref.T
+    got = np.asarray(_qdot_group_pallas(x, qt, interpret=True)
+                     .astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_qdot_groupdot_multi_ktile(rng):
+    """K large enough to force several k-tiles through the group kernel."""
+    from miotts_tpu.ops.qmat import _qdot_group_pallas
+    qt, ref = _make_qt(GGML_Q4_K, 128, 4096, rng)
+    x = jnp.asarray(rng.standard_normal((1, 4096)), jnp.bfloat16)
+    want = np.asarray(x.astype(jnp.float32)) @ ref.T
+    got = np.asarray(_qdot_group_pallas(x, qt, interpret=True)
+                     .astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=6e-2)
+
+
+def test_qdot_groupdot_env_dispatch(rng, monkeypatch):
+    """qdot routes M=1 bf16 GEMVs through the group kernel only under
+    MIOTTS_QDOT_GROUPDOT=1 (and never for packed tensors)."""
+    import miotts_tpu.ops.qmat as qm
+    calls = []
+    monkeypatch.setenv("MIOTTS_QDOT_GROUPDOT", "1")
+    monkeypatch.setattr(qm, "_use_pallas", lambda: True)
+    monkeypatch.setattr(qm, "_qdot_group_pallas",
+                        lambda x, w: calls.append("group") or qm._qdot_xla(x, w))
+    monkeypatch.setattr(qm, "_qdot_pallas",
+                        lambda x, w: calls.append("plain") or qm._qdot_xla(x, w))
+    qt, _ = _make_qt(GGML_Q8_0, 128, 256, rng)
+    qm.qdot(jnp.zeros((1, 256), jnp.bfloat16), qt)      # -> group
+    qm.qdot(jnp.zeros((2, 256), jnp.bfloat16), qt)      # M>1 -> plain
+    qm.qdot(jnp.zeros((1, 256), jnp.float32), qt)       # f32 -> plain
+    assert calls == ["group", "plain", "plain"]
+
+
 @pytest.mark.parametrize("gtype", [GGML_Q4_K])
 def test_pack4_dequant_identical(gtype, rng):
     """Packed-nibble storage dequantizes identically to unpacked."""
