@@ -253,9 +253,13 @@ def _qdot_group_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group,
     g_rows = k_t // group
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (g_rows, k_t), 1)
     g_ids = jax.lax.broadcasted_iota(jnp.int32, (g_rows, k_t), 0)
-    xb = jnp.where(k_ids // group == g_ids,
-                   jnp.broadcast_to(x_ref[:], (g_rows, k_t)),
-                   jnp.bfloat16(0))            # [G, K_t]
+    # block-diagonal indicator WITHOUT bool vectors: an i1-valued [G, K_t]
+    # mask trips a Mosaic relayout bug on v5e ("Non-singleton logical
+    # dimension is replicated in destination but not in source"), so the
+    # indicator is built in integer arithmetic and multiplied in
+    ind = jnp.clip(1 - jnp.abs(k_ids // group - g_ids), 0, 1)
+    xb = (jnp.broadcast_to(x_ref[:], (g_rows, k_t))
+          * ind.astype(jnp.bfloat16))          # [G, K_t]
     d = jax.lax.dot_general(xb, v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [G, N_t]
     acc_ref[:] += jnp.sum(d * s_ref[:].astype(jnp.float32), axis=0,
