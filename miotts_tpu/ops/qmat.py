@@ -388,11 +388,15 @@ def qtensor_from_raw(raw: np.ndarray, ggml_type: int, rows: int, cols: int,
     from ..gguf.quants import to_group_quant
 
     if pack4 is None:
-        # Measured on v5e: the unpacked int8 kernel already runs at HBM
-        # speed-of-light (~880 GB/s) and the nibble unpack costs more VPU
-        # time than the halved read saves, so packing is opt-in.
+        # Default ON (round 2): on the current kernel the nibble unpack is
+        # cheaper than the halved HBM read saves — 2.6B-Q4_K decode marginal
+        # 5.40 -> 4.22 ms/token (benchmarks/matrix_r2/decode_2.6b_pack4.log,
+        # bench_qmat 'packed' 3.97 vs 'pallas' 5.11 ms/token kernel time).
+        # The repack is bit-exact (lossless nibble re-layout), so quality is
+        # unchanged.  Round 1 measured the OLD kernel slower and left it
+        # opt-in; MIOTTS_NO_PACK4=1 restores that behavior.
         pack4 = (ggml_type in (GGML_Q4_K, GGML_Q4_0) and cols % 2 == 0
-                 and bool(os.environ.get("MIOTTS_PACK4")))
+                 and not os.environ.get("MIOTTS_NO_PACK4"))
 
     def finish(values_t, scales_t, mins_t, group, bias4=False):
         packed = False
