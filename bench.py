@@ -94,7 +94,14 @@ def run_flagship() -> dict:
     so a relay stall cannot sink the whole bench."""
     import subprocess
     log("bench: flagship 64-stream 2.6b-q4_k batched serving ...")
-    env = dict(os.environ, MIOTTS_BENCH_MODEL="2.6b-q4_k")
+    # Pin the flagship artifact to the measured serving configuration:
+    # nibble packing is default-on for the decode GEMV (validated M=1..80),
+    # but the 64-slot batched prefill (M up to slots x prompt bucket)
+    # hasn't run packed on real Mosaic yet — keep the driver-recorded
+    # number on the validated path until matrix_r2e's batch_2.6b_64_pack4
+    # entry measures it.
+    env = dict(os.environ, MIOTTS_BENCH_MODEL="2.6b-q4_k",
+               MIOTTS_NO_PACK4="1")
     out: dict = {}
     try:
         r = subprocess.run(
