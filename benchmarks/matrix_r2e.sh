@@ -7,6 +7,12 @@
 # model, plus the fixed groupdot kernel and the remaining serving A/Bs.
 # Shares benchmarks/matrix_r2 .done markers.  One TPU process at a time.
 set -u
+# NOTE (post-flip): pack4 became DEFAULT-ON at commit 97275d8, which makes
+# MIOTTS_PACK4=1 a silent no-op below — every entry in this queue that ran
+# after the flip (timestamps >= 2026-08-21 00:30) measured the PACKED
+# default path, including batch_2.6b_64_i16_pipe2 (94.9x) and
+# batch_2.6b_64_pack4 (80.7x): those two differ by MIOTTS_BENCH_PIPE, not
+# by packing.  Future unpacked baselines must set MIOTTS_NO_PACK4=1.
 cd "$(dirname "$0")/.."
 OUT="${1:-benchmarks/matrix_r2}"
 mkdir -p "$OUT"

@@ -124,6 +124,11 @@ def cmd_bench(args) -> int:
     # Fused streaming folds codec+iSTFT into one executable; re-attribute
     # stage time from device measurements so the per-stage contract holds.
     engine.attribute_stages(profile)
+    if not profile.stages_trusted:
+        print("stream_bench.stage.untrusted=1  "
+              "(a device stage measurement read 0 even after the escalated "
+              "retry; the codec/istft split below is unreliable)",
+              file=sys.stderr)
     audio_sec = emitted[0] / engine.sample_rate
     total = max(profile.total_sec, 1e-9)
     for k, v in profile.as_metrics(audio_sec).items():

@@ -48,6 +48,15 @@ import numpy as np
 
 from ..ops.istft import make_synthesis_basis, istft
 
+# The reference's fixed 20-code parity vector, byte-for-byte
+# (`/root/reference/tools/compare_codec.py:50-51`).  Cross-implementation
+# stage dumps (tools/compare_codec.py, tools/debug_decoder.py) default to
+# this so day-1 npz diffs against upstream dumps use identical inputs.
+REFERENCE_TEST_CODES = [
+    12287, 11619, 11774, 12223, 2490, 826, 2257, 1668, 1219, 2319,
+    9994, 12683, 12745, 4215, 12478, 8800, 8696, 375, 1406, 12396,
+]
+
 
 @dataclass(frozen=True)
 class CodecConfig:

@@ -657,7 +657,9 @@ class TTSEngine:
         def measured(fn) -> float:
             # host timing noise (a loaded machine) can drive the marginal
             # difference to zero; retry with more reps before accepting it —
-            # a zero share would falsely report the stage as free
+            # a zero share would falsely report the stage as free.  If the
+            # escalated retry ALSO reads zero, flag the whole split as
+            # untrusted (profile.stages_trusted) so consumers can say so.
             dt = marginal(fn)
             if dt <= 0.0:
                 nonlocal reps
@@ -666,6 +668,8 @@ class TTSEngine:
                     dt = marginal(fn)
                 finally:
                     reps //= 4
+                if dt <= 0.0:
+                    profile.stages_trusted = False
             return dt
 
         for b, n_calls in sorted(counts.items()):

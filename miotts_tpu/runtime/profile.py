@@ -52,6 +52,11 @@ class StreamProfile:
     # (stream-benchmark.cpp:163-166) holds in the default configuration.
     decode_bucket_codes: list = field(default_factory=list)
     stages_calibrated: bool = False
+    # False when a stage's device measurement read 0.0 even after the
+    # escalated retry (persistently loaded host): the codec/istft split is
+    # then untrusted and consumers should say so instead of reporting a
+    # stage as free.
+    stages_trusted: bool = True
 
     def as_metrics(self, audio_sec: float) -> dict:
         """stream_bench.* key/value lines (stream-benchmark.cpp:148-167)."""

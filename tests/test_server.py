@@ -242,9 +242,11 @@ def test_graceful_shutdown_drains(engine_and_voice):
     threads = [threading.Thread(target=one, args=(i,)) for i in range(3)]
     for t in threads:
         t.start()
-    # wait until work is actually in the batcher, then drain
+    # wait until ALL THREE requests reached the batcher before draining —
+    # shutting down after only the first arrives would 503 the others
+    # (that rejection path has its own test below)
     deadline = time.time() + 60
-    while not srv.batcher.pending and time.time() < deadline:
+    while srv.batcher._next_id < 3 and time.time() < deadline:
         time.sleep(0.01)
     drained = srv.shutdown(drain_timeout_sec=120)
     assert drained

@@ -117,3 +117,22 @@ def test_create_voice_emb_random(tmp_path):
     from miotts_tpu.gguf import load_voice_embedding
     emb = load_voice_embedding(out)
     assert emb.shape == (32,)
+
+
+def test_reference_test_vector_is_exact():
+    """The default parity codes must equal the reference's fixed vector
+    BYTE-FOR-BYTE (`/root/reference/tools/compare_codec.py:50-51`) — day-1
+    cross-implementation npz diffs need identical inputs, so a drifted
+    default silently invalidates the whole workflow."""
+    from miotts_tpu.models.codec import REFERENCE_TEST_CODES
+    assert REFERENCE_TEST_CODES == [
+        12287, 11619, 11774, 12223, 2490, 826, 2257, 1668, 1219, 2319,
+        9994, 12683, 12745, 4215, 12478, 8800, 8696, 375, 1406, 12396]
+    # both tools default to it (compare_codec imports it as DEFAULT_CODES;
+    # debug_decoder builds its default from the same constant)
+    import importlib.util as iu
+    spec = iu.spec_from_file_location(
+        "cc", __file__.rsplit("/", 2)[0] + "/tools/compare_codec.py")
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert list(mod.DEFAULT_CODES) == REFERENCE_TEST_CODES

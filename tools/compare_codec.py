@@ -19,9 +19,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 
-# the reference's fixed test vector (compare_codec.py:50-51)
-DEFAULT_CODES = [100, 200, 300, 400, 500, 600, 700, 800, 900, 1000,
-                 1100, 1200, 1300, 1400, 1500, 1600, 1700, 1800, 1900, 2000]
+# the reference's fixed test vector (compare_codec.py:50-51) — identical
+# values so cross-implementation npz diffs use identical inputs
+from miotts_tpu.models.codec import REFERENCE_TEST_CODES as DEFAULT_CODES
 
 
 def stats(name, x):

@@ -39,12 +39,12 @@ def main() -> int:
     jax.config.update("jax_platforms", "cpu")
     from miotts_tpu.gguf import GGUFReader, load_voice_embedding
     from miotts_tpu.models.codec import (
-        codec_decode_stages, codec_decoder_layer_substeps, load_codec_params,
+        REFERENCE_TEST_CODES, codec_decode_stages,
+        codec_decoder_layer_substeps, load_codec_params,
     )
 
     codes = ([int(c) for c in args.codes.split(",")] if args.codes
-             else [100, 200, 300, 400, 500, 600, 700, 800, 900, 1000,
-                   1100, 1200, 1300, 1400, 1500, 1600, 1700, 1800, 1900, 2000])
+             else list(REFERENCE_TEST_CODES))
     with GGUFReader(args.codec) as r:
         params, cfg = load_codec_params(r)
     emb = load_voice_embedding(args.voice)
