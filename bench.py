@@ -86,49 +86,95 @@ def ensure_models():
     return llm_path, codec_path, emb_path
 
 
-def run_flagship() -> dict:
-    """Flagship north-star config: 64 concurrent 2.6B-Q4_K streams through
-    the continuous batcher (BASELINE.json config 5 shape).  Runs in a
-    subprocess BEFORE this process touches the TPU — the chip is single-
-    tenant (CLAUDE.md: never two TPU benches at once) — with a hard timeout
-    so a relay stall cannot sink the whole bench."""
+def _run_sub(cmd, env, timeout, tag) -> dict | None:
+    """Run a bench subprocess with a hard timeout; return its last-stdout-
+    line JSON (or None).  Each pass owns the TPU exclusively while it runs
+    (CLAUDE.md: never two TPU benches at once)."""
     import subprocess
-    log("bench: flagship 64-stream 2.6b-q4_k batched serving ...")
-    # Pin the flagship artifact to the measured serving configuration:
-    # nibble packing is default-on for the decode GEMV (validated M=1..80),
-    # but the 64-slot batched prefill (M up to slots x prompt bucket)
-    # hasn't run packed on real Mosaic yet — keep the driver-recorded
-    # number on the validated path until matrix_r2e's batch_2.6b_64_pack4
-    # entry measures it.
-    env = dict(os.environ, MIOTTS_BENCH_MODEL="2.6b-q4_k",
-               MIOTTS_NO_PACK4="1")
-    out: dict = {}
     try:
-        r = subprocess.run(
-            [sys.executable, "benchmarks/bench_batch.py", "64", "96"],
-            env=env, capture_output=True, text=True, timeout=3300)
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=timeout)
         for line in r.stderr.splitlines()[-8:]:
-            log(f"  flagship| {line}")
+            log(f"  {tag}| {line}")
         last = (r.stdout.strip().splitlines() or [""])[-1]
-        fl = json.loads(last)
-        out["bench.flagship.aggregate_x_realtime"] = fl["value"]
-        out["bench.flagship.per_stream_x_realtime"] = fl["vs_baseline"]
-        if "ttfa_p50_sec" in fl:
-            out["bench.flagship.ttfa_p50_sec"] = fl["ttfa_p50_sec"]
-        out["bench.flagship.model"] = "2.6b-q4_k x64 streams"
+        return json.loads(last)
     except Exception as e:  # timeout, parse failure, crash
-        log(f"bench: flagship run failed: {e!r}")
-    return out
+        log(f"bench: {tag} pass failed: {e!r}")
+        return None
+
+
+def orchestrate() -> int:
+    """Driver entry point (round 3): budget the whole bench so ONE parsed
+    JSON line is guaranteed inside the driver's time limit — BENCH_r02 was
+    rc=124/parsed=null because the in-process single-stream pass ran after
+    the flagship with no global deadline.
+
+    Two passes, each a subprocess with a hard timeout (this process never
+    touches the TPU, so a relay stall can only eat its own pass's budget):
+      1. flagship: 64 concurrent 2.6B-Q4_K streams through the continuous
+         batcher (BASELINE.json config 5 shape), DEFAULT config — packed
+         GEMV + auto i16/pipelined-codec serving defaults, no env pins.
+      2. single-stream 0.1B-Q8_0 (BASELINE.json config 1/3), additive.
+    The final line carries the flagship aggregate + TTFA (headline) plus
+    the single-stream metrics when that pass fits the remaining budget."""
+    t0 = time.monotonic()
+    budget = float(os.environ.get("MIOTTS_BENCH_BUDGET", "1500"))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t0)
+
+    log(f"bench: orchestrating (budget {budget:.0f}s)")
+    fl_timeout = max(480, remaining() - 520)
+    log(f"bench: flagship 64-stream 2.6b-q4_k batched serving "
+        f"(timeout {fl_timeout:.0f}s) ...")
+    fl = _run_sub([sys.executable, "benchmarks/bench_batch.py", "64", "96"],
+                  dict(os.environ, MIOTTS_BENCH_MODEL="2.6b-q4_k"),
+                  fl_timeout, "flagship")
+
+    single = None
+    if remaining() > 240:
+        s_timeout = min(500, remaining() - 30)
+        log(f"bench: single-stream 0.1b-q8_0 (timeout {s_timeout:.0f}s) ...")
+        env = dict(os.environ, MIOTTS_BENCH_MODEL="0.1b-q8_0")
+        single = _run_sub([sys.executable, "bench.py"], env, s_timeout,
+                          "single")
+    else:
+        log(f"bench: skipping single-stream pass ({remaining():.0f}s left)")
+
+    if fl is not None:
+        out = {
+            "metric": "serve_bench.aggregate_x_realtime",
+            "value": fl["value"],
+            "unit": fl.get("unit", "audio_sec/wall_sec@64streams"),
+            "vs_baseline": fl.get("vs_baseline", 0.0),
+        }
+        if "ttfa_p50_sec" in fl:
+            out["ttfa_p50_sec"] = fl["ttfa_p50_sec"]
+        for k in ("reps", "agg_all", "ttfa_all"):
+            if k in fl:
+                out[k] = fl[k]
+        if single is not None:
+            out["single_stream"] = {
+                "model": "0.1b-q8_0",
+                "x_realtime": single.get("value", 0.0),
+                "ttfa_p50_sec": single.get("ttfa_p50_sec", -1.0),
+                "decode_tok_s": single.get("decode_tok_s", -1.0),
+            }
+        print(json.dumps(out))
+        return 0
+    if single is not None:   # flagship failed; single-stream carries it
+        print(json.dumps(single))
+        return 0
+    print(json.dumps({"metric": "serve_bench.aggregate_x_realtime",
+                      "value": 0.0, "unit": "audio_sec/wall_sec@64streams",
+                      "vs_baseline": 0.0, "error": "both passes failed"}))
+    return 1
 
 
 def main() -> int:
+    """Single-stream streaming bench for MIOTTS_BENCH_MODEL (in-process).
+    The driver's headline path is orchestrate() below."""
     llm_path, codec_path, emb_path = ensure_models()
-
-    # flagship subprocess first — before this process attaches to the TPU
-    flagship_metrics: dict = {}
-    if (os.environ.get("MIOTTS_BENCH_FLAGSHIP", "1") == "1"
-            and "MIOTTS_BENCH_MODEL" not in os.environ):
-        flagship_metrics = run_flagship()
 
     import jax
     log(f"bench: devices = {jax.devices()}")
@@ -211,7 +257,6 @@ def main() -> int:
     if ttfas:
         metrics["bench.p50_first_audio_sec"] = sorted(ttfas)[len(ttfas) // 2]
     metrics["bench.model"] = MODEL
-    metrics.update(flagship_metrics)
 
     for k, v in sorted(metrics.items()):
         log(f"  {k} = {v:.6f}" if isinstance(v, float) else f"  {k} = {v}")
@@ -221,14 +266,25 @@ def main() -> int:
         json.dump(metrics, f, indent=2)
 
     x_rt = metrics["stream_bench.x_realtime"]
-    print(json.dumps({
+    line = {
         "metric": "stream_bench.x_realtime",
         "value": round(x_rt, 4),
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(x_rt / 1.0, 4),
-    }))
+        "model": MODEL,
+        "decode_tok_s": round(metrics.get("bench.decode_tokens_per_sec", 0.0), 1),
+    }
+    if "bench.p50_first_audio_sec" in metrics:
+        line["ttfa_p50_sec"] = round(metrics["bench.p50_first_audio_sec"], 4)
+    print(json.dumps(line))
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # MIOTTS_BENCH_MODEL set (matrix runs / the orchestrator's own
+    # subprocess) -> in-process single-stream pass; otherwise the budgeted
+    # two-pass orchestrator is the driver's entry point.
+    if ("MIOTTS_BENCH_MODEL" in os.environ
+            or os.environ.get("MIOTTS_BENCH_FLAGSHIP") == "0"):
+        sys.exit(main())
+    sys.exit(orchestrate())

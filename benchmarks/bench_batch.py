@@ -33,11 +33,16 @@ def main() -> int:
     from miotts_tpu.runtime.batching import ContinuousBatcher
     from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
 
+    def tri(name):
+        """unset -> None (EngineConfig auto default), '1' -> True, else False."""
+        v = os.environ.get(name)
+        return None if v is None or v == "" else v == "1"
+
     engine = TTSEngine(EngineConfig(
         model_path=llm_path, codec_path=codec_path, max_tokens=max_tokens,
         codec_fast=os.environ.get("MIOTTS_BENCH_CODEC_FAST", "") == "1",
-        i16_transfer=os.environ.get("MIOTTS_BENCH_I16", "") == "1",
-        pipeline_codec=os.environ.get("MIOTTS_BENCH_PIPE", "") == "1",
+        i16_transfer=tri("MIOTTS_BENCH_I16"),
+        pipeline_codec=tri("MIOTTS_BENCH_PIPE"),
         first_commit_codes=int(os.environ.get("MIOTTS_FIRST_COMMIT", "8"))))
     voice = VoiceModel(emb_path)
     print(f"bench_batch: warming up (slots={n_slots})...", file=sys.stderr, flush=True)
@@ -90,14 +95,24 @@ def main() -> int:
         return wall, total_audio, agg, per_stream, ttfa_p50
 
     run_once("warm")                    # absorbs first-execution stalls
-    wall, total_audio, agg, per_stream, ttfa_p50 = run_once("timed")
+    # several timed reps (cheap once warm: ~3 s each at 64 streams) so
+    # serving A/Bs clear the documented +-15% run-to-run noise; the
+    # artifact carries the MEDIAN rep
+    reps = max(1, int(os.environ.get("MIOTTS_BENCH_REPS", "3")))
+    results = [run_once(f"timed{i}") for i in range(reps)]
+    results.sort(key=lambda r: r[2])
+    wall, total_audio, agg, per_stream, ttfa_p50 = results[len(results) // 2]
+    ttfa_med = sorted(r[4] for r in results)[len(results) // 2]
 
     print(json.dumps({
         "metric": "batch_bench.aggregate_x_realtime",
         "value": round(agg, 4),
         "unit": f"audio_sec/wall_sec@{n_streams}streams",
         "vs_baseline": round(per_stream, 4),
-        "ttfa_p50_sec": round(ttfa_p50, 4),
+        "ttfa_p50_sec": round(ttfa_med, 4),
+        "reps": reps,
+        "agg_all": [round(r[2], 2) for r in results],
+        "ttfa_all": [round(r[4], 3) for r in results],
     }))
     return 0
 

@@ -123,7 +123,44 @@ def time_layer_chained(fns, x0s, n_chain, reps=5):
     return (t2 - t1) / (n2 - n1)
 
 
+def prefill_check(M: int) -> int:
+    """Mosaic-validate the M-tiled kernel at batched-prefill shapes
+    (M = slots x prompt bucket): compile + run packed and unpacked once,
+    check they agree, and time a few reps.  VERDICT r2 item 3."""
+    rng = np.random.default_rng(2)
+    for K, N in SHAPES:
+        x = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.float32)
+        qt = make_qt(K, N)
+        qp = make_qt(K, N, packed=True)
+        outs = {}
+        for tag, q in (("unpacked", qt), ("packed", qp)):
+            try:
+                y = _qdot_pallas(x, q)
+                y.block_until_ready()
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    y = _qdot_pallas(x, q)
+                jax.device_get(jnp.sum(y))
+                dt = (time.perf_counter() - t0) / 3
+                outs[tag] = np.asarray(y[:8, :128])
+                print(f"  [{K:5d}x{N:5d}] M={M} {tag:8s}: OK {dt*1e3:8.2f} ms"
+                      f" ({2*M*K*N/dt/1e12:5.1f} TFLOP/s)", file=sys.stderr)
+            except Exception as e:
+                print(f"  [{K:5d}x{N:5d}] M={M} {tag:8s}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+                return 1
+        if not np.allclose(outs["packed"], outs["unpacked"], atol=2e-2,
+                           rtol=2e-2):
+            print("  MISMATCH packed vs unpacked", file=sys.stderr)
+            return 1
+    print(f"prefill_check M={M}: all shapes OK, packed==unpacked",
+          file=sys.stderr)
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--prefill":
+        return prefill_check(int(sys.argv[2]))
     n_chain = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(1)
@@ -140,6 +177,48 @@ def main() -> int:
         elif name == "packed":
             qts = [make_qt(K, N, packed=True) for K, N in SHAPES]
             fns = [lambda x, qt=qt: _qdot_pallas(x, qt) for qt in qts]
+        elif name == "packed_bf16s":
+            qts = [make_qt(K, N, jnp.bfloat16, packed=True)
+                   for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_pallas(x, qt) for qt in qts]
+        elif name == "packed_bf16dot":
+            # round-3: dequant + dot in bf16 (native MXU path, half-width
+            # VPU ops); same numerics class as the XLA bf16 fallback
+            qts = [make_qt(K, N, packed=True) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_pallas(
+                x.astype(jnp.bfloat16), qt, bf16_dot=True) for qt in qts]
+        elif name == "packed_bf16dot_bf16s":
+            qts = [make_qt(K, N, jnp.bfloat16, packed=True)
+                   for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_pallas(
+                x.astype(jnp.bfloat16), qt, bf16_dot=True) for qt in qts]
+        elif name == "bf16dot":
+            # unpacked int8 values, bf16 dequant+dot (for Q8_0/Q6_K models)
+            qts = [make_qt(K, N) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_pallas(
+                x.astype(jnp.bfloat16), qt, bf16_dot=True) for qt in qts]
+        elif name == "packed_split":
+            # round-3: pre-split x halves, no unpack concat, two half-K dots
+            from miotts_tpu.ops.qmat import _qdot_pallas_split
+            qts = [make_qt(K, N, packed=True) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_pallas_split(x, qt) for qt in qts]
+        elif name == "packed_split_bf16s":
+            from miotts_tpu.ops.qmat import _qdot_pallas_split
+            qts = [make_qt(K, N, jnp.bfloat16, packed=True)
+                   for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_pallas_split(x, qt) for qt in qts]
+        elif name == "groupdot_packed":
+            # round-3 combination: nibble-packed values, unpack straight to
+            # bf16, scales applied to the [G, N] partial sums (no per-weight
+            # scale multiply, no f32 intermediate)
+            qts = [make_qt(K, N, packed=True) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_group_pallas(
+                x.astype(jnp.bfloat16), qt) for qt in qts]
+        elif name == "groupdot_packed_bf16s":
+            qts = [make_qt(K, N, jnp.bfloat16, packed=True)
+                   for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_group_pallas(
+                x.astype(jnp.bfloat16), qt) for qt in qts]
         elif name == "groupdot":
             # scale-after-dot GEMV kernel (bf16 activations)
             qts = [make_qt(K, N) for K, N in SHAPES]

@@ -189,34 +189,43 @@ def _qdot_xla(x: jax.Array, qt: QTensor) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
-                 packed):
+                 packed, bf16_dot=False):
     """Grid (m_tiles, n_tiles, k_tiles).  Blocks: x [M_t, K_t], v int8
     [K_t, N_t] (or uint8 [K_t/2, N_t] nibble-packed), s [K_t//g, N_t],
-    out [M_t, N_t], acc f32 scratch [M_t, N_t]."""
+    out [M_t, N_t], acc f32 scratch [M_t, N_t].
+
+    `bf16_dot` (round 3): dequantize and dot in bf16 — halves the VPU
+    convert/multiply width and uses the MXU's native bf16 path instead of
+    the multi-pass f32 emulation.  Accumulation stays f32.  Numerically
+    this is the SAME class as the XLA fallback already computes for bf16
+    activations (_qdot_xla dequantizes to bf16 there): w rounds to bf16
+    after the scale multiply, ~2^-8 relative — an order below the Q4/Q6
+    quantization noise itself.  Selected only for bf16 activations."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    wdt = jnp.bfloat16 if bf16_dot else jnp.float32
     if packed:
         vp = v_ref[:].astype(jnp.int32)
         kh, n_t = vp.shape
         k_t = kh * 2
         v3 = vp.reshape(k_t // group, group // 2, n_t)
         lo = v3 & 0xF
-        hi = (v3 >> 4) & 0xF
+        hi = v3 >> 4          # u8 widen zero-extends: no mask needed
         # per-group half-split order -> unpack is a group-local block
         # concat (no sublane interleave)
-        v = jnp.concatenate([lo, hi], axis=1).reshape(k_t, n_t).astype(jnp.float32)
+        v = jnp.concatenate([lo, hi], axis=1).reshape(k_t, n_t).astype(wdt)
     else:
-        v = v_ref[:].astype(jnp.float32)
+        v = v_ref[:].astype(wdt)
         k_t, n_t = v.shape
-    s = s_ref[:].astype(jnp.float32)
+    s = s_ref[:].astype(wdt)
     # dequant: group runs along sublanes; lane dim (N_t) untouched
     w = (v.reshape(k_t // group, group, n_t) * s[:, None, :]).reshape(k_t, n_t)
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w, (((1,), (0,)), ((), ())),
+        x_ref[:].astype(wdt), w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(k_idx == n_k_tiles - 1)
@@ -224,8 +233,47 @@ def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
         o_ref[:] = acc_ref[:]
 
 
+def _qdot_split_kernel(xlo_ref, xhi_ref, v_ref, s_ref, o_ref, acc_ref, *,
+                       group, n_k_tiles):
+    """Packed-nibble matmul WITHOUT the unpack concat (round 3).
+
+    The standard packed kernel pays, per weight: u8->i32 widen, nibble
+    extract, a [G, g/2, N]->[K, N] block CONCAT (a real sublane relayout),
+    convert, scale multiply.  Here the activation row is pre-split OUTSIDE
+    the kernel (x is [M, K] — tiny) into the lo-half and hi-half columns of
+    every quant group, so each nibble half is dequantized IN PLACE and
+    contracted by its own half-K dot: no concat, and `hi = vp >> 4` needs
+    no mask (the u8 widen zero-extends).  Exact: integer nibbles and f32
+    scales/products, f32 accumulation.
+
+    Blocks: xlo/xhi [M_t, K_t/2] f32, v uint8 [K_t/2, N_t],
+    s [K_t//g, N_t], out/acc [M_t, N_t] f32."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vp = v_ref[:].astype(jnp.int32)            # [K_t/2, N_t], 0..255
+    kh, n_t = vp.shape
+    g2 = group // 2
+    v3 = vp.reshape(kh // g2, g2, n_t)
+    s = s_ref[:].astype(jnp.float32)[:, None, :]
+    w_lo = ((v3 & 0xF).astype(jnp.float32) * s).reshape(kh, n_t)
+    w_hi = ((v3 >> 4).astype(jnp.float32) * s).reshape(kh, n_t)
+    acc_ref[:] += (
+        jax.lax.dot_general(xlo_ref[:], w_lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(xhi_ref[:], w_hi, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(k_idx == n_k_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
 def _qdot_group_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group,
-                       n_k_tiles):
+                       n_k_tiles, packed=False):
     """GEMV (M=1) variant that applies quant scales AFTER the dot.
 
     The standard kernel's VPU dequant is 2 ops/weight (int8->f32 convert +
@@ -240,15 +288,33 @@ def _qdot_group_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group,
     already wastes.  bf16 is exact here: int8 values and bf16-sourced
     activations are represented exactly, products accumulate in f32.
 
-    Blocks: x [1, K_t] bf16, v int8 [K_t, N_t], s [K_t//g, N_t],
-    out/acc [1, N_t] f32."""
+    With `packed` (round 3): v is uint8 [K_t/2, N_t] nibble-packed and the
+    unpack goes STRAIGHT to bf16 (& / >> / per-group block concat, no f32
+    intermediate and no per-weight scale multiply at all) — the
+    VPU-cheapest exact path measured for the 2.6B decode GEMV.  All values
+    are small ints (|v| <= 127, nibbles 0..15), exactly representable in
+    bf16; products accumulate in f32 on the MXU.
+
+    Blocks: x [1, K_t] bf16, v int8 [K_t, N_t] (or uint8 [K_t/2, N_t]
+    packed), s [K_t//g, N_t], out/acc [1, N_t] f32."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    v = v_ref[:].astype(jnp.bfloat16)          # [K_t, N_t]
+    if packed:
+        # Mosaic has no direct u8->bf16 cast; widen to i32 for the bitwise
+        # unpack (same as the plain packed kernel), convert once to bf16
+        vp = v_ref[:].astype(jnp.int32)        # uint8 [K_t/2, N_t] widened
+        kh, n_t = vp.shape
+        k_t = kh * 2
+        v3 = vp.reshape(k_t // group, group // 2, n_t)
+        lo = (v3 & 0xF).astype(jnp.bfloat16)
+        hi = (v3 >> 4).astype(jnp.bfloat16)
+        v = jnp.concatenate([lo, hi], axis=1).reshape(k_t, n_t)
+    else:
+        v = v_ref[:].astype(jnp.bfloat16)      # [K_t, N_t]
     k_t = v.shape[0]
     g_rows = k_t // group
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (g_rows, k_t), 1)
@@ -270,8 +336,29 @@ def _qdot_group_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group,
         o_ref[:] = acc_ref[:]
 
 
-def _use_groupdot() -> bool:
-    return os.environ.get("MIOTTS_QDOT_GROUPDOT", "") == "1"
+def _use_bf16_dot() -> bool:
+    """bf16 dequant+dot kernel variant for bf16 activations — opt-in while
+    being TPU-measured (MIOTTS_QDOT_BF16=1)."""
+    return os.environ.get("MIOTTS_QDOT_BF16", "") == "1"
+
+
+def _use_pack4_split() -> bool:
+    """Split-x packed kernel (_qdot_split_kernel) for packed tensors —
+    opt-in while being TPU-measured (MIOTTS_PACK4_SPLIT=1; 0 disables)."""
+    return os.environ.get("MIOTTS_PACK4_SPLIT", "") == "1"
+
+
+def _gemv_mode() -> str:
+    """Decode-GEMV (M=1) kernel selection: 'groupdot' = scale-after-dot
+    (packed or unpacked), 'plain' = the standard dequant-then-dot kernel.
+    MIOTTS_QDOT_GEMV overrides; MIOTTS_QDOT_GROUPDOT=1 is the round-2
+    opt-in alias for 'groupdot'."""
+    mode = os.environ.get("MIOTTS_QDOT_GEMV", "")
+    if mode in ("groupdot", "plain"):
+        return mode
+    if os.environ.get("MIOTTS_QDOT_GROUPDOT", "") == "1":
+        return "groupdot"
+    return "plain"
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -279,24 +366,34 @@ def _qdot_group_pallas(x: jax.Array, qt: QTensor,
                        interpret: bool = False) -> jax.Array:
     """Scale-after-dot GEMV path (see _qdot_group_kernel).  x [1, K]."""
     M, K = x.shape
+    if M != 1:
+        # the x BlockSpec / out_specs pin the row index to 0: rows 1..M-1
+        # would silently be garbage.  qdot() guards this; direct callers
+        # (benchmarks/tests) must too.
+        raise ValueError(f"_qdot_group_pallas is a GEMV kernel (M=1), got M={M}")
     N = qt.values.shape[1]
     g = qt.group
+    pack_div = 2 if qt.packed else 1
     TILE_N = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
     TILE_K = K
     # v tile <= ~512 KB; keep G = TILE_K/g <= 128 so the block-diagonal x
-    # rows stay inside the one padded MXU M-block (same MXU cost as M=1)
-    while ((TILE_N * TILE_K > 512 * 1024 or TILE_K // g > 128)
-           and TILE_K % 2 == 0 and (TILE_K // 2) % max(128, 8 * g) == 0):
+    # rows stay inside the one padded MXU M-block (same MXU cost as M=1);
+    # packed value blocks need (TILE_K/2) sublanes aligned to the u8 tiling
+    k_align = max(128, 8 * g, 64 * pack_div)
+    while ((TILE_N * TILE_K // pack_div > 512 * 1024 or TILE_K // g > 128)
+           and TILE_K % 2 == 0 and (TILE_K // 2) % k_align == 0):
         TILE_K //= 2
     n_k_tiles = K // TILE_K
 
     xb = x.astype(jnp.bfloat16)
     out = pl.pallas_call(
-        partial(_qdot_group_kernel, group=g, n_k_tiles=n_k_tiles),
+        partial(_qdot_group_kernel, group=g, n_k_tiles=n_k_tiles,
+                packed=qt.packed),
         grid=(1, N // TILE_N, n_k_tiles),
         in_specs=[
             pl.BlockSpec((1, TILE_K), lambda m, i, j: (0, j)),
-            pl.BlockSpec((TILE_K, TILE_N), lambda m, i, j: (j, i)),
+            pl.BlockSpec((TILE_K // pack_div, TILE_N),
+                         lambda m, i, j: (j, i)),
             pl.BlockSpec((TILE_K // g, TILE_N), lambda m, i, j: (j, i)),
         ],
         out_specs=pl.BlockSpec((1, TILE_N), lambda m, i, j: (0, i)),
@@ -316,10 +413,66 @@ def _qdot_group_pallas(x: jax.Array, qt: QTensor,
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Array:
+def _qdot_pallas_split(x: jax.Array, qt: QTensor,
+                       interpret: bool = False) -> jax.Array:
+    """Split-x packed matmul (see _qdot_split_kernel).  x [M, K], packed
+    QTensor only."""
+    if not qt.packed:
+        raise ValueError("_qdot_pallas_split requires a packed QTensor")
+    M, K = x.shape
+    N = qt.values.shape[1]
+    g = qt.group
+
+    TILE_N = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    TILE_K = K
+    k_align = max(128, 8 * g, 128)
+    while (TILE_N * TILE_K // 2 > 512 * 1024
+           and TILE_K % 2 == 0 and (TILE_K // 2) % k_align == 0):
+        TILE_K //= 2
+    n_k_tiles = K // TILE_K
+    TILE_M = M
+    while TILE_M > 256 and TILE_M % 2 == 0:
+        TILE_M //= 2
+
+    xf = x.astype(jnp.float32)
+    # group-local column split OUTSIDE the kernel: lo half / hi half of
+    # every quant group, flattened back to [M, K/2] (matches the nibble
+    # packing layout: byte row r of group b holds w[b*g + r] in its low
+    # nibble and w[b*g + g/2 + r] in its high nibble)
+    x3 = xf.reshape(M, K // g, g)
+    x_lo = x3[:, :, : g // 2].reshape(M, K // 2)
+    x_hi = x3[:, :, g // 2:].reshape(M, K // 2)
+    out = pl.pallas_call(
+        partial(_qdot_split_kernel, group=g, n_k_tiles=n_k_tiles),
+        grid=(M // TILE_M, N // TILE_N, n_k_tiles),
+        in_specs=[
+            pl.BlockSpec((TILE_M, TILE_K // 2), lambda m, i, j: (m, j)),
+            pl.BlockSpec((TILE_M, TILE_K // 2), lambda m, i, j: (m, j)),
+            pl.BlockSpec((TILE_K // 2, TILE_N), lambda m, i, j: (j, i)),
+            pl.BlockSpec((TILE_K // g, TILE_N), lambda m, i, j: (j, i)),
+        ],
+        out_specs=pl.BlockSpec((TILE_M, TILE_N), lambda m, i, j: (m, i)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_M, TILE_N), jnp.float32)],
+        interpret=interpret,
+    )(x_lo, x_hi, qt.values, qt.scales)
+
+    if qt.mins is not None:
+        xg = xf.reshape(M, K // g, g).sum(axis=2)
+        out = out - jax.lax.dot_general(
+            xg, qt.mins.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if qt.n_out > 0 and qt.n_out != N:
+        out = out[:, : qt.n_out]
+    return out.astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "bf16_dot"))
+def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False,
+                 bf16_dot: bool = False) -> jax.Array:
     """Fused dequant+matmul Pallas kernel.  x [M, K] f32/bf16 -> [M, N].
     Affine formats (mins) add x-group-sums @ mins as a small correction
-    matmul outside the kernel."""
+    matmul outside the kernel.  `bf16_dot`: see _qdot_kernel."""
     M, K = x.shape
     N = qt.values.shape[1]
     g = qt.group
@@ -343,9 +496,10 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
     while TILE_M > 256 and TILE_M % 2 == 0:
         TILE_M //= 2
 
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.bfloat16 if bf16_dot else jnp.float32)
     out = pl.pallas_call(
-        partial(_qdot_kernel, group=g, n_k_tiles=n_k_tiles, packed=qt.packed),
+        partial(_qdot_kernel, group=g, n_k_tiles=n_k_tiles, packed=qt.packed,
+                bf16_dot=bf16_dot),
         grid=(M // TILE_M, N // TILE_N, n_k_tiles),
         in_specs=[
             pl.BlockSpec((TILE_M, TILE_K), lambda m, i, j: (m, j)),
@@ -361,7 +515,8 @@ def _qdot_pallas(x: jax.Array, qt: QTensor, interpret: bool = False) -> jax.Arra
 
     if qt.mins is not None:
         # correction: sum_k x_k * min_{k//g} = (x group-sums) @ mins
-        xg = xf.reshape(M, K // g, g).sum(axis=2)
+        # (always f32 — the group sums must not accumulate in bf16)
+        xg = x.astype(jnp.float32).reshape(M, K // g, g).sum(axis=2)
         out = out - jax.lax.dot_general(
             xg, qt.mins.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -517,11 +672,15 @@ def qdot(x: jax.Array, w) -> jax.Array:
                      and K % 128 == 0 and K % w.group == 0
                      and w.values.shape[1] % 128 == 0)
         if pallas_ok:
-            # scale-after-dot GEMV variant (opt-in while being measured):
-            # M=1, unpacked values, bf16-sourced activations only
-            if (_use_groupdot() and x2.shape[0] == 1 and not w.packed
+            # scale-after-dot GEMV variant: M=1, bf16-sourced activations
+            # (packed and unpacked values both supported since round 3)
+            if (_gemv_mode() == "groupdot" and x2.shape[0] == 1
                     and x.dtype == jnp.bfloat16):
                 y = _qdot_group_pallas(x2, w)
+            elif w.packed and _use_pack4_split():
+                y = _qdot_pallas_split(x2, w)
+            elif x.dtype == jnp.bfloat16 and _use_bf16_dot():
+                y = _qdot_pallas(x2, w, bf16_dot=True)
             else:
                 y = _qdot_pallas(x2, w)
         else:

@@ -95,8 +95,10 @@ class ContinuousBatcher:
                     + engine.config.max_tokens + chunk_steps + 64)
             ctx_len = min(_bucket_len(need, 256), engine.config.n_ctx)
         self.ctx_len = ctx_len
+        self.quantized_kv = quantized_kv
         dtype = (jnp.bfloat16 if engine.config.llm_dtype == "bfloat16"
                  else jnp.float32)
+        self._cache_dtype = dtype
         self.cache = init_kv_cache(self.cfg, n_slots, ctx_len,
                                    dtype=dtype, quantized=quantized_kv)
         self.last_logits = jnp.zeros((n_slots, self.cfg.n_vocab), jnp.float32)
@@ -148,6 +150,61 @@ class ContinuousBatcher:
                       "prefills": 0}
 
     # ------------------------------------------------------------------
+    def warmup(self, prompt_len: int = 64) -> None:
+        """Precompile the batched serving executables BEFORE traffic: the
+        A=n_slots batched slot prefill at the prompt bucket, the chunk
+        executable at the first attention bucket, and the batched sliced
+        codec decode at the first-commit shape.  The single-stream twin is
+        TTSEngine.warmup; without this, the first admission wave absorbs
+        the compiles (the serving benches hide it in a warm pass, a real
+        server should not).  Serving state is re-initialized afterwards."""
+        eng = self.engine
+        cfgE = eng.config
+        bucket = _round_up(max(1, prompt_len), cfgE.prompt_bucket)
+        A = self.n_slots
+        slots = jnp.arange(A, dtype=jnp.int32)
+        last, self.cache = llm_prefill_slots(
+            eng.llm_params, jnp.zeros((A, bucket), jnp.int32),
+            jnp.ones((A,), jnp.int32), self.cache, slots, self.cfg)
+        self.last_logits = self.last_logits.at[slots].set(last)
+        need = bucket + self.chunk_steps
+        attn_len = min(_bucket_len(need, 128), self.ctx_len)
+        if attn_len >= self.ctx_len:
+            attn_len = 0
+        active = jnp.zeros((A,), bool).at[0].set(True)
+        buf, _, self.last_logits, self.cache, self._slot_key = \
+            llm_generate_chunk_batched(
+                eng.llm_params, self.last_logits, self.cache, active,
+                self._slot_key, self._slot_temp, self._stop_ids, self.cfg,
+                self.chunk_steps, attn_len)
+        jax.device_get(buf)
+
+        if eng.codec_params is not None:
+            spt = eng.codec_cfg.samples_per_token
+            n0 = (cfgE.holdback_codes + eng._first_commit
+                  + cfgE.stream_check_interval)
+            emb = np.zeros((eng.codec_cfg.adaln_dim,), np.float32)
+            voices = [VoiceModel(embedding=emb)] * A
+            audio, _, _ = eng.decode_codes_batch_sliced_async(
+                [[1] * n0] * A, voices, [0] * A,
+                [eng._first_commit * spt] * A)
+            np.asarray(audio)
+
+        # reset serving state (prefill/chunk above donated the cache)
+        self.cache = init_kv_cache(self.cfg, self.n_slots, self.ctx_len,
+                                   dtype=self._cache_dtype,
+                                   quantized=self.quantized_kv)
+        self.last_logits = jnp.zeros_like(self.last_logits)
+        self._slot_key = jax.random.split(
+            jax.random.PRNGKey(self.engine.config.seed), self.n_slots)
+        self._active_dev = jnp.asarray(self.active)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_kv_cache
+            from jax.sharding import NamedSharding, PartitionSpec as Psp
+            self.cache = shard_kv_cache(self.cache, self.mesh)
+            self.last_logits = jax.device_put(
+                self.last_logits, NamedSharding(self.mesh, Psp("data", None)))
+
     @property
     def pending(self) -> int:
         return (len(self.waiting) + int(np.sum(self.active))
@@ -460,7 +517,7 @@ class ContinuousBatcher:
                     s = max(0, min(r.committed, len(r.codes) - window))
                 starts.append(s)
             sync_work = list(zip(decode_work, starts))
-            if self.engine.config.pipeline_codec:
+            if self.engine.config.serving_pipeline_codec:
                 # non-final commits: dispatch ONE batched decode and defer
                 # its materialization to the next step (it runs on the codec
                 # device while the next LLM chunk runs); finals stay

@@ -398,7 +398,13 @@ class EngineConfig:
     # unfused streaming path (the fused step is a single program and cannot
     # span devices).
     codec_device: int = -1
-    pipeline_codec: bool = False
+    # Tri-state (round 3): None = AUTO — ON for the batched serving path
+    # (the only 64-stream config that cleared TTFA < 1 s: i16+pipelined
+    # measured 94.9x aggregate / 0.97 s p50 vs 80-84x / 1.4 s without,
+    # benchmarks/matrix_r2/queue4.out), OFF for the single-stream engine
+    # (whose fused step is faster than pipelining and whose parity paths
+    # stay float-exact).  Explicit True/False overrides both paths.
+    pipeline_codec: bool | None = None
     # bf16-input codec matmuls (CodecConfig.fast): ~3x MXU throughput at
     # ~1e-3 relative audio error — far below the codec's own quantization
     # noise.  Default off so parity paths stay exact-f32; serving benches
@@ -408,8 +414,24 @@ class EngineConfig:
     # device->host transfer (the measured serving codec cost); every sink
     # is 16-bit PCM anyway, so end-to-end it is lossless (one extra
     # round-trip quantization vs the float path, <= 1/32767 per sample).
-    # Default off so float-exact parity tests hold sample-for-sample.
-    i16_transfer: bool = False
+    # Tri-state like pipeline_codec: None = AUTO (ON for batched serving,
+    # where it is half of the measured-best 94.9x/0.97s config; the
+    # single-stream float paths are unaffected — they do not use the
+    # sliced batch transfers).  Explicit False keeps batched emission
+    # float-exact for parity tests.
+    i16_transfer: bool | None = None
+
+    @property
+    def serving_pipeline_codec(self) -> bool:
+        """pipeline_codec resolved for the BATCHED serving path (None ->
+        True: the measured-best default)."""
+        return True if self.pipeline_codec is None else bool(self.pipeline_codec)
+
+    @property
+    def serving_i16_transfer(self) -> bool:
+        """i16_transfer resolved for the batched sliced transfers (None ->
+        True: the measured-best default)."""
+        return True if self.i16_transfer is None else bool(self.i16_transfer)
 
 
 @dataclass
@@ -911,7 +933,7 @@ class TTSEngine:
         audio = _codec_audio_sliced_vmapped(
             self.codec_params, jnp.asarray(padded), jnp.asarray(embs), cfg,
             jnp.asarray(lens, jnp.int32), jnp.asarray(starts, jnp.int32), E,
-            self.config.i16_transfer)
+            self.config.serving_i16_transfer)
         return audio, offs, n_samp
 
     def decode_codes_batch_sliced(self, codes_list: list, voices: list,
@@ -1233,7 +1255,7 @@ class TTSEngine:
         # pipelined mode: each non-final emit's audio is a device array whose
         # materialization is deferred to the NEXT emit check — the codec
         # decode (on codec_device) overlaps the LLM chunk in between
-        pipeline = self.config.pipeline_codec
+        pipeline = bool(self.config.pipeline_codec)
         spt = self.samples_per_token
         pending: list = []            # [(audio_dev, T, begin, end)] 0 or 1
 

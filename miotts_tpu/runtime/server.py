@@ -283,6 +283,9 @@ def serve(engine: TTSEngine, voices: dict[str, VoiceModel],
     requests (new ones get 503) before stopping the scheduler."""
     srv = TTSServer(engine, voices, n_slots=n_slots,
                     request_timeout_sec=request_timeout_sec)
+    # precompile the batched serving executables BEFORE the listener opens
+    # so the first admission wave serves at steady-state latency
+    srv.batcher.warmup()
     srv.start_scheduler()
     httpd = ThreadingHTTPServer((host, port), _make_handler(srv))
     print(f"miotts serving on http://{host}:{port} "

@@ -83,6 +83,48 @@ def main():
     assert np.isfinite(cs), cs
     print(f"STEP {pid} {cs:.4f} {tk}", flush=True)
 
+    # --- phase 3 (round 3): one REAL serving chunk — batched slot prefill
+    # + chunk-buffered batched decode (the path the ContinuousBatcher
+    # dispatches) — with the 'model' axis spanning the process boundary.
+    # Greedy sampling, so the cross-process run must be TOKEN-EXACT vs the
+    # process-local single-device run (the in-process twin is
+    # test_parallel.py::test_sharded_batched_serving_chunk_token_parity).
+    from miotts_tpu.models.llm import (
+        llm_generate_chunk_batched, llm_prefill_slots,
+    )
+
+    n_slots, ctx_len, chunk = 4, 32, 6
+    rng = np.random.default_rng(3)
+    toks_np = rng.integers(0, cfg.n_vocab, (2, 8)).astype(np.int32)
+    n_real_np = np.asarray([8, 5], np.int32)
+    slots_np = np.asarray([0, 2], np.int32)
+    stop_np = np.asarray([cfg.n_vocab - 1, cfg.n_vocab - 2], np.int32)
+    keys0 = jax.random.split(jax.random.PRNGKey(7), n_slots)
+    temps = jnp.zeros((n_slots,), jnp.float32)   # greedy -> exact parity
+
+    def run_chunk(mesh, p):
+        cache = init_kv_cache(cfg, n_slots, ctx_len, dtype=jnp.float32)
+        last_logits = jnp.zeros((n_slots, cfg.n_vocab), jnp.float32)
+        active = jnp.zeros((n_slots,), bool).at[jnp.asarray(slots_np)].set(True)
+        if mesh is not None:
+            cache = shard_kv_cache(cache, mesh)
+            last_logits = jax.device_put(
+                last_logits, NamedSharding(mesh, P("data", None)))
+        last, cache = llm_prefill_slots(
+            p, jnp.asarray(toks_np), jnp.asarray(n_real_np), cache,
+            jnp.asarray(slots_np), cfg)
+        last_logits = last_logits.at[jnp.asarray(slots_np)].set(last)
+        buf, active, last_logits, cache, _ = llm_generate_chunk_batched(
+            p, last_logits, cache, active, keys0, temps,
+            jnp.asarray(stop_np), cfg, chunk, 0)
+        return np.asarray(buf)
+
+    local_buf = run_chunk(None, params)
+    with jax.set_mesh(mesh2):
+        dist_buf = run_chunk(mesh2, sp)
+    assert np.array_equal(local_buf, dist_buf), (local_buf, dist_buf)
+    print(f"CHUNK {pid} {local_buf.tolist()}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -487,3 +487,61 @@ def test_sample_token_filtered_per_row_params(engine):
         p = np.exp(row - row.max())
         allowed = set(np.nonzero(p >= 0.5 * p.max())[0].tolist())
         assert int(t[2]) in allowed
+
+
+def test_serving_defaults_auto_resolve():
+    """Round-3 landed defaults: the measured-best 64-stream serving config
+    (i16 transfers + pipelined codec, 94.9x aggregate / 0.97 s TTFA p50 —
+    benchmarks/matrix_r2/queue4.out) must be what an UNCONFIGURED engine
+    serves with, while explicit False still selects the float-exact /
+    synchronous paths for parity work."""
+    cfg = EngineConfig()
+    assert cfg.pipeline_codec is None and cfg.i16_transfer is None
+    assert cfg.serving_pipeline_codec is True
+    assert cfg.serving_i16_transfer is True
+    off = EngineConfig(pipeline_codec=False, i16_transfer=False)
+    assert off.serving_pipeline_codec is False
+    assert off.serving_i16_transfer is False
+    on = EngineConfig(pipeline_codec=True, i16_transfer=True)
+    assert on.serving_pipeline_codec is True and on.serving_i16_transfer is True
+    # the single-stream engine must keep the fused path under auto (None):
+    # pipeline_codec is only promoted for the batched serving path
+    assert not bool(cfg.pipeline_codec)
+
+
+def test_batcher_warmup_then_serves(engine):
+    """ContinuousBatcher.warmup precompiles the serving executables and
+    resets state — requests submitted afterwards must behave exactly like
+    on a fresh batcher (same tokens at the same seed)."""
+    eng, voice = engine
+
+    def run(warm):
+        batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10)
+        if warm:
+            batcher.warmup(prompt_len=16)
+            assert batcher.pending == 0
+            assert not batcher.active.any()
+        got = {}
+
+        def cb_for(i):
+            got[i] = []
+
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    got[i].append(samples)
+                return True
+            return cb
+
+        for i in range(2):
+            batcher.submit(f"warmup parity {i}", voice, cb_for(i),
+                           Options(max_tokens=30, temperature=0.0, seed=3))
+        batcher.run_until_done(max_iters=200)
+        assert batcher.pending == 0
+        return [np.concatenate(got[i]) if got[i] else np.zeros(0, np.float32)
+                for i in range(2)]
+
+    cold = run(False)
+    warm = run(True)
+    for a, b in zip(cold, warm):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)

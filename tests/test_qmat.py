@@ -89,8 +89,9 @@ def test_qdot_groupdot_multi_ktile(rng):
 
 
 def test_qdot_groupdot_env_dispatch(rng, monkeypatch):
-    """qdot routes M=1 bf16 GEMVs through the group kernel only under
-    MIOTTS_QDOT_GROUPDOT=1 (and never for packed tensors)."""
+    """qdot routes M=1 bf16 GEMVs (packed or not) through the group kernel
+    under MIOTTS_QDOT_GROUPDOT=1 / MIOTTS_QDOT_GEMV=groupdot, and
+    MIOTTS_QDOT_GEMV=plain overrides the alias."""
     import miotts_tpu.ops.qmat as qm
     calls = []
     monkeypatch.setenv("MIOTTS_QDOT_GROUPDOT", "1")
@@ -100,10 +101,49 @@ def test_qdot_groupdot_env_dispatch(rng, monkeypatch):
     monkeypatch.setattr(qm, "_qdot_pallas",
                         lambda x, w: calls.append("plain") or qm._qdot_xla(x, w))
     qt, _ = _make_qt(GGML_Q8_0, 128, 256, rng)
+    q4, _ = _make_qt(GGML_Q4_K, 128, 256, rng)
     qm.qdot(jnp.zeros((1, 256), jnp.bfloat16), qt)      # -> group
     qm.qdot(jnp.zeros((2, 256), jnp.bfloat16), qt)      # M>1 -> plain
     qm.qdot(jnp.zeros((1, 256), jnp.float32), qt)       # f32 -> plain
-    assert calls == ["group", "plain", "plain"]
+    qm.qdot(jnp.zeros((1, 256), jnp.bfloat16), q4.pack4())  # packed -> group
+    monkeypatch.setenv("MIOTTS_QDOT_GEMV", "plain")
+    qm.qdot(jnp.zeros((1, 256), jnp.bfloat16), qt)      # explicit plain wins
+    assert calls == ["group", "plain", "plain", "group", "plain"]
+
+
+def test_qdot_groupdot_packed_interpret(rng):
+    """Packed-nibble scale-after-dot GEMV (round 3): unpack straight to
+    bf16, no per-weight scale multiply — must match the dequant reference
+    at bf16-activation precision."""
+    from miotts_tpu.ops.qmat import _qdot_group_pallas
+    qt, ref = _make_qt(GGML_Q4_K, 256, 512, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((1, 512)), jnp.bfloat16)
+    want = np.asarray(x.astype(jnp.float32)) @ ref.T
+    got = np.asarray(_qdot_group_pallas(x, qp, interpret=True)
+                     .astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_qdot_groupdot_packed_multi_ktile(rng):
+    from miotts_tpu.ops.qmat import _qdot_group_pallas
+    qt, ref = _make_qt(GGML_Q4_K, 128, 4096, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((1, 4096)), jnp.bfloat16)
+    want = np.asarray(x.astype(jnp.float32)) @ ref.T
+    got = np.asarray(_qdot_group_pallas(x, qp, interpret=True)
+                     .astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=6e-2)
+
+
+def test_qdot_group_pallas_rejects_m_gt_1(rng):
+    """ADVICE r2: the group kernel writes only row 0 — direct callers with
+    M>1 must fail loudly instead of reading garbage rows."""
+    from miotts_tpu.ops.qmat import _qdot_group_pallas
+    qt, _ = _make_qt(GGML_Q8_0, 128, 256, rng)
+    x = jnp.zeros((2, 256), jnp.bfloat16)
+    with pytest.raises(ValueError, match="M=1"):
+        _qdot_group_pallas(x, qt, interpret=True)
 
 
 @pytest.mark.parametrize("gtype", [GGML_Q4_K])
@@ -226,3 +266,94 @@ def test_concat_mixed_dense_quant_rejected(rng):
     qt, _ = _make_qt(GGML_Q8_0, 8, 256, rng)
     with pytest.raises(ValueError):
         concat_qtensors([qt, jnp.zeros((8, 256), jnp.float32)])
+
+
+def test_qdot_pallas_split_interpret(rng):
+    """Split-x packed kernel == XLA dequant path (exact f32 math, no
+    concat, two half-K dots — round 3)."""
+    from miotts_tpu.ops.qmat import _qdot_pallas_split
+    qt, _ = _make_qt(GGML_Q4_K, 256, 512, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    want = np.asarray(_qdot_xla(x, qp))
+    got = np.asarray(_qdot_pallas_split(x, qp, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_qdot_pallas_split_multi_ktile(rng):
+    from miotts_tpu.ops.qmat import _qdot_pallas_split
+    qt, _ = _make_qt(GGML_Q4_K, 128, 4096, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((1, 4096)), jnp.float32)
+    want = np.asarray(_qdot_xla(x, qp))
+    got = np.asarray(_qdot_pallas_split(x, qp, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_qdot_pallas_split_rejects_unpacked(rng):
+    from miotts_tpu.ops.qmat import _qdot_pallas_split
+    qt, _ = _make_qt(GGML_Q4_K, 128, 512, rng)
+    with pytest.raises(ValueError, match="packed"):
+        _qdot_pallas_split(jnp.zeros((1, 512), jnp.float32), qt,
+                           interpret=True)
+
+
+def test_pack4_split_env_dispatch(rng, monkeypatch):
+    """MIOTTS_PACK4_SPLIT=1 routes packed qdots through the split kernel."""
+    import miotts_tpu.ops.qmat as qm
+    calls = []
+    monkeypatch.setenv("MIOTTS_PACK4_SPLIT", "1")
+    monkeypatch.delenv("MIOTTS_QDOT_GROUPDOT", raising=False)
+    monkeypatch.delenv("MIOTTS_QDOT_GEMV", raising=False)
+    monkeypatch.setattr(qm, "_use_pallas", lambda: True)
+    monkeypatch.setattr(qm, "_qdot_pallas_split",
+                        lambda x, w: calls.append("split") or qm._qdot_xla(x, w))
+    monkeypatch.setattr(qm, "_qdot_pallas",
+                        lambda x, w: calls.append("plain") or qm._qdot_xla(x, w))
+    q4, _ = _make_qt(GGML_Q4_K, 128, 256, rng)
+    qm.qdot(jnp.zeros((1, 256), jnp.float32), q4.pack4())   # -> split
+    qm.qdot(jnp.zeros((1, 256), jnp.float32), q4)           # unpacked -> plain
+    assert calls == ["split", "plain"]
+
+
+def test_qdot_pallas_bf16dot_interpret(rng):
+    """bf16 dequant+dot kernel variant == the XLA bf16 fallback's numerics
+    class (w rounds to bf16 after the scale multiply; f32 accumulation)."""
+    qt, ref = _make_qt(GGML_Q4_K, 256, 512, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((2, 512)), jnp.bfloat16)
+    want = np.asarray(x.astype(jnp.float32)) @ ref.T
+    for q in (qt, qp):
+        got = np.asarray(_qdot_pallas(x, q, interpret=True, bf16_dot=True)
+                         .astype(jnp.float32))
+        # bf16 w-rounding gives an ABSOLUTE error ~ sqrt(K)*2^-9*|x||w| per
+        # output, so small outputs have large relative error; the honest
+        # bound is the relative RMS over the output vector
+        rel_rms = (np.linalg.norm(got - want)
+                   / max(np.linalg.norm(want), 1e-9))
+        xla_bf16 = np.asarray(_qdot_xla(x, q).astype(jnp.float32))
+        xla_rel = (np.linalg.norm(xla_bf16 - want)
+                   / max(np.linalg.norm(want), 1e-9))
+        # same numerics class as (in fact slightly tighter than) the XLA
+        # bf16 fallback: measured ~0.59% vs its 0.69% on this fixture
+        assert rel_rms < 1e-2, rel_rms
+        assert rel_rms <= xla_rel * 1.5, (rel_rms, xla_rel)
+
+
+def test_bf16dot_env_dispatch(rng, monkeypatch):
+    """MIOTTS_QDOT_BF16=1 selects the bf16 kernel for bf16 activations
+    only (f32 activations keep the exact f32 kernel)."""
+    import miotts_tpu.ops.qmat as qm
+    calls = []
+    monkeypatch.setenv("MIOTTS_QDOT_BF16", "1")
+    monkeypatch.delenv("MIOTTS_QDOT_GROUPDOT", raising=False)
+    monkeypatch.delenv("MIOTTS_PACK4_SPLIT", raising=False)
+    monkeypatch.setattr(qm, "_use_pallas", lambda: True)
+    monkeypatch.setattr(
+        qm, "_qdot_pallas",
+        lambda x, w, bf16_dot=False: calls.append(
+            "bf16" if bf16_dot else "f32") or qm._qdot_xla(x, w))
+    qt, _ = _make_qt(GGML_Q8_0, 128, 256, rng)
+    qm.qdot(jnp.zeros((1, 256), jnp.bfloat16), qt)   # -> bf16 kernel
+    qm.qdot(jnp.zeros((1, 256), jnp.float32), qt)    # -> exact f32 kernel
+    assert calls == ["bf16", "f32"]

@@ -180,3 +180,159 @@ def test_qwen2_decode_roundtrip(qwen2_pair):
     for text in NASTY:
         ids = ours.encode(text, add_special=False)
         assert ours.decode(ids) == text, text
+
+
+# ---------------------------------------------------------------------------
+# SPM (sentencepiece-style, llama-arch GGUFs) — round-3 authoritative twin
+# of the BPE tests above.  The `sentencepiece` package is not in this image,
+# so the external anchor is HF `tokenizers`' SPM pipeline — BPE with
+# byte_fallback + Prepend("▁")/Replace(" ","▁") normalizers, exactly what
+# HF's LlamaTokenizerFast executes for sentencepiece models.  Scores are
+# derived as -merge_rank (the sentencepiece BPE convention llama.cpp's
+# llm_tokenizer_spm consumes).  Known, deliberate difference class kept out
+# of the corpus: literal special-token TEXT (e.g. "<unk>") — HF matches
+# added tokens unconditionally, llama.cpp (and we) only under
+# parse_special for CONTROL/USER_DEFINED types.
+# ---------------------------------------------------------------------------
+
+SPM_CORPUS = [
+    "Hello world, hello tokenizer parity test.",
+    "don't you'll we're I'm they've it's can't o'clock",
+    "The quick brown fox jumps over the lazy dog 1234567890 times.",
+    "sentencepiece merges whole sentences without word boundaries",
+    "日本語のテキストと English が混在する文章です。",
+    "音声合成モデルのトークナイザを検証します。",
+    "MixedCase camelCase snake_case kebab-case UPPER lower",
+    "numbers 1 22 333 4444 55555 3.14159 1e-9 0x7F",
+] * 4
+
+SPM_NASTY = [
+    "", " ", "  ", "   ", "\t", "\n", "\t\n",
+    "Hello world", " Hello world", "Hello World!", " Hello World !",
+    "don't we'll I'M THEY'VE", "日本語テキスト混在ASCII text",
+    "нещо на Български",            # -> byte fallback (chars unseen)
+    "កាន់តែពិសេសអាចខលចេញ",
+    "🚀 emoji ✅", "3", "33", "333", "33333",
+    "trailing space ", "  Hello", "   Hello",
+    "tab\tand\nnewline", "числа 123", "camelCase kebab-case", "o'clock",
+    "ﬁ ﬂ ligatures", "x", "▁literal metaspace",
+]
+
+SPM_SPECIAL = "<|im_end|>"
+
+
+def _train_hf_spm(vocab_size=400):
+    """HF tokenizers configured as a sentencepiece BPE: char alphabet in the
+    ▁-world, byte-fallback tokens, no pre-tokenizer (merges run across the
+    whole fragment, like sentencepiece)."""
+    import json as _json
+    from tokenizers import normalizers, trainers
+    tok = HFTokenizer(models.BPE(unk_token="<unk>", byte_fallback=True,
+                                 fuse_unk=True))
+    tok.normalizer = normalizers.Sequence([
+        normalizers.Prepend("▁"), normalizers.Replace(" ", "▁")])
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size, show_progress=False,
+        special_tokens=["<unk>"] + [f"<0x{b:02X}>" for b in range(256)]
+        + [SPM_SPECIAL],
+        limit_alphabet=1000)
+    tok.train_from_iterator(SPM_CORPUS, trainer)
+    state = _json.loads(tok.to_str())
+    merges = [m if isinstance(m, str) else f"{m[0]} {m[1]}"
+              for m in state["model"]["merges"]]
+    return tok, state["model"]["vocab"], merges
+
+
+def _spm_to_gguf_and_back(hf_vocab, merges, path) -> Tokenizer:
+    """sentencepiece-convention GGUF: tokens + scores (-merge rank) + BYTE/
+    UNKNOWN/CONTROL token types, model 'llama'."""
+    from miotts_tpu.text.tokenizer import TOKEN_TYPE_BYTE
+    TOKEN_TYPE_UNKNOWN = 2
+    tokens = [""] * len(hf_vocab)
+    for t, i in hf_vocab.items():
+        tokens[i] = t
+    scores = [-1e9] * len(tokens)
+    for rank, m in enumerate(merges):
+        a, _, b = m.partition(" ")
+        tid = hf_vocab.get(a + b)
+        if tid is not None and scores[tid] == -1e9:
+            scores[tid] = float(-rank)
+    types = []
+    for t in tokens:
+        if t == "<unk>":
+            types.append(TOKEN_TYPE_UNKNOWN)
+        elif t == SPM_SPECIAL:
+            types.append(TOKEN_TYPE_CONTROL)
+        elif t.startswith("<0x") and t.endswith(">") and len(t) == 6:
+            types.append(TOKEN_TYPE_BYTE)
+        else:
+            types.append(TOKEN_TYPE_NORMAL)
+    w = GGUFWriter(path)
+    w.add_kv("general.architecture", "llama")
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.token_type", types)
+    w.add_array("tokenizer.ggml.scores", scores)
+    w.add_kv("tokenizer.ggml.unknown_token_id", hf_vocab["<unk>"])
+    w.add_kv("tokenizer.ggml.add_space_prefix", True)
+    w.add_tensor("dummy", np.zeros((1,), np.float32))
+    w.write()
+    with GGUFReader(path) as r:
+        return Tokenizer.from_gguf(r)
+
+
+@pytest.fixture(scope="module")
+def spm_pair(tmp_path_factory):
+    hf, vocab, merges = _train_hf_spm()
+    path = str(tmp_path_factory.mktemp("spmtok") / "spm.gguf")
+    ours = _spm_to_gguf_and_back(vocab, merges, path)
+    return hf, ours
+
+
+def test_spm_id_exact_nasty_corpus(spm_pair):
+    """Dummy prefix, ▁-replacement, greedy best-score merging and
+    byte-fallback must be id-exact vs the HF pipeline."""
+    hf, ours = spm_pair
+    for text in SPM_NASTY:
+        want = hf.encode(text, add_special_tokens=False).ids
+        got = ours.encode(text, add_special=False, parse_special=False)
+        assert got == want, (
+            f"text={text!r}\n got={[ours.tokens[i] for i in got]}\n"
+            f"want={[hf.id_to_token(i) for i in want]}")
+
+
+def test_spm_corpus_lines_id_exact(spm_pair):
+    hf, ours = spm_pair
+    for text in set(SPM_CORPUS):
+        want = hf.encode(text, add_special_tokens=False).ids
+        got = ours.encode(text, add_special=False, parse_special=False)
+        assert got == want, text
+
+
+def test_spm_special_token_resets_dummy_prefix(spm_pair):
+    """llama.cpp re-applies the dummy space prefix to the fragment AFTER
+    every special token (is_prev_special=true); HF normalizes each fragment
+    around added tokens the same way — both must agree."""
+    hf, ours = spm_pair
+    for text in [
+        f"before{SPM_SPECIAL}after",
+        f"{SPM_SPECIAL}leading",
+        f"trailing{SPM_SPECIAL}",
+        f"a{SPM_SPECIAL}{SPM_SPECIAL}b",
+        f"one {SPM_SPECIAL} two",
+    ]:
+        want = hf.encode(text, add_special_tokens=False).ids
+        got = ours.encode(text, add_special=False, parse_special=True)
+        assert got == want, (
+            f"text={text!r}\n got={[ours.tokens[i] for i in got]}\n"
+            f"want={[hf.id_to_token(i) for i in want]}")
+
+
+def test_spm_byte_fallback_decode_roundtrip(spm_pair):
+    """Byte-fallback ids must decode back to the original text (UTF-8
+    reassembly across <0xNN> tokens)."""
+    _, ours = spm_pair
+    for text in ["нещо на Български", "byte ☃ fallback", "mixed 日本語 + кирилица"]:
+        ids = ours.encode(text, add_special=False, parse_special=False)
+        # our SPM decode strips the dummy prefix's leading space
+        assert ours.decode(ids).lstrip(" ") == text.lstrip(" "), text
