@@ -118,7 +118,13 @@ def orchestrate() -> int:
     The final line carries the flagship aggregate + TTFA (headline) plus
     the single-stream metrics when that pass fits the remaining budget."""
     t0 = time.monotonic()
-    budget = float(os.environ.get("MIOTTS_BENCH_BUDGET", "1500"))
+    # Default sized against the driver's observed ~3600 s window
+    # (BENCH_r02 timeline): worst case = flagship stalls to its cap
+    # (2280 s) + single-stream cap (500 s) + overhead ~= 2850 s, leaving
+    # ~750 s of driver margin.  Measured r3 flagship wall is ~1000 s
+    # (dominated by the per-process relay stall), after which the
+    # single-stream pass fits comfortably.
+    budget = float(os.environ.get("MIOTTS_BENCH_BUDGET", "2800"))
 
     def remaining() -> float:
         return budget - (time.monotonic() - t0)

@@ -181,6 +181,16 @@ def main() -> int:
             qts = [make_qt(K, N, jnp.bfloat16, packed=True)
                    for K, N in SHAPES]
             fns = [lambda x, qt=qt: _qdot_pallas(x, qt) for qt in qts]
+        elif name == "packed_bf16after":
+            # round-3: dequant in f32 (native lanes), ONE cast to bf16 at
+            # the MXU boundary — tests the f32-MXU-emulation hypothesis
+            qts = [make_qt(K, N, packed=True) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_pallas(
+                x, qt, bf16_dot="after") for qt in qts]
+        elif name == "bf16after":
+            qts = [make_qt(K, N) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_pallas(
+                x, qt, bf16_dot="after") for qt in qts]
         elif name == "packed_bf16dot":
             # round-3: dequant + dot in bf16 (native MXU path, half-width
             # VPU ops); same numerics class as the XLA bf16 fallback

@@ -207,7 +207,11 @@ def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    wdt = jnp.bfloat16 if bf16_dot else jnp.float32
+    # bf16_dot: False = all-f32; True = dequant AND dot in bf16 (measured
+    # slow: 16-bit elementwise implies retiling); "after" = dequant in f32
+    # (native 32-bit lanes), ONE cast to bf16 right before the MXU — pays
+    # +1 VPU op/weight to drop the multi-pass f32 MXU emulation.
+    wdt = jnp.bfloat16 if bf16_dot is True else jnp.float32
     if packed:
         vp = v_ref[:].astype(jnp.int32)
         kh, n_t = vp.shape
@@ -224,8 +228,14 @@ def _qdot_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group, n_k_tiles,
     s = s_ref[:].astype(wdt)
     # dequant: group runs along sublanes; lane dim (N_t) untouched
     w = (v.reshape(k_t // group, group, n_t) * s[:, None, :]).reshape(k_t, n_t)
+    xk = x_ref[:]
+    if bf16_dot == "after":
+        w = w.astype(jnp.bfloat16)
+        xk = xk.astype(jnp.bfloat16)
+    elif bf16_dot is True:
+        xk = xk.astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:].astype(wdt), w, (((1,), (0,)), ((), ())),
+        xk, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(k_idx == n_k_tiles - 1)
@@ -336,10 +346,17 @@ def _qdot_group_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group,
         o_ref[:] = acc_ref[:]
 
 
-def _use_bf16_dot() -> bool:
-    """bf16 dequant+dot kernel variant for bf16 activations — opt-in while
-    being TPU-measured (MIOTTS_QDOT_BF16=1)."""
-    return os.environ.get("MIOTTS_QDOT_BF16", "") == "1"
+def _use_bf16_dot():
+    """bf16 MXU variants for bf16 activations — opt-in while being
+    TPU-measured.  MIOTTS_QDOT_BF16=1 -> bf16 dequant+dot; =after ->
+    f32 dequant, one bf16 cast at the MXU boundary.  Returns the
+    _qdot_pallas bf16_dot value (False/True/"after")."""
+    v = os.environ.get("MIOTTS_QDOT_BF16", "")
+    if v == "1":
+        return True
+    if v == "after":
+        return "after"
+    return False
 
 
 def _use_pack4_split() -> bool:
@@ -680,7 +697,7 @@ def qdot(x: jax.Array, w) -> jax.Array:
             elif w.packed and _use_pack4_split():
                 y = _qdot_pallas_split(x2, w)
             elif x.dtype == jnp.bfloat16 and _use_bf16_dot():
-                y = _qdot_pallas(x2, w, bf16_dot=True)
+                y = _qdot_pallas(x2, w, bf16_dot=_use_bf16_dot())
             else:
                 y = _qdot_pallas(x2, w)
         else:
