@@ -357,3 +357,17 @@ def test_bf16dot_env_dispatch(rng, monkeypatch):
     qm.qdot(jnp.zeros((1, 256), jnp.bfloat16), qt)   # -> bf16 kernel
     qm.qdot(jnp.zeros((1, 256), jnp.float32), qt)    # -> exact f32 kernel
     assert calls == ["bf16", "f32"]
+
+
+def test_qdot_pallas_bf16after_interpret(rng):
+    """'after' mode: f32 dequant, one bf16 cast at the MXU boundary —
+    bf16-class output (both x and w round to bf16 for the dot)."""
+    qt, ref = _make_qt(GGML_Q4_K, 256, 512, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    want = np.asarray(x) @ ref.T
+    for q in (qt, qp):
+        got = np.asarray(_qdot_pallas(x, q, interpret=True,
+                                      bf16_dot="after"))
+        rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
+        assert rel < 1e-2, rel
