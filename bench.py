@@ -139,7 +139,10 @@ def orchestrate() -> int:
 
     single = None
     if remaining() > 240:
-        s_timeout = min(500, remaining() - 30)
+        # 900 s cap: warmup + passes fit in ~200 s, but the relay's
+        # first-execution stall (1-8 min typical) must fit too — the
+        # rehearsal's 500 s cap lost the single pass to exactly that
+        s_timeout = min(900, remaining() - 30)
         log(f"bench: single-stream 0.1b-q8_0 (timeout {s_timeout:.0f}s) ...")
         env = dict(os.environ, MIOTTS_BENCH_MODEL="0.1b-q8_0")
         single = _run_sub([sys.executable, "bench.py"], env, s_timeout,
