@@ -116,6 +116,146 @@ def test_q6_k_scale_groups(rng):
     assert np.abs(x[16:32] - y[16:32]).max() < 2.0 * 0.08
 
 
+def _build_q4_k_block(d, dmin, sc6, mn6, q):
+    """Hand-assemble one 144-byte Q4_K super-block from the ggml spec.
+
+    Layout (llama.cpp block_q4_K; formats per /root/reference/README.md:196,
+    consumed opaquely by the reference at src/test-to-speech.cpp:49):
+      bytes 0-1   f16 d        (super scale)
+      bytes 2-3   f16 dmin     (super min)
+      bytes 4-15  12-byte packed 6-bit scales/mins (write side of ggml
+                  get_scale_min_k4):
+                    j<4:  byte[j]   = sc[j]   | (sc[j+4]>>4)<<6
+                          byte[j+4] = mn[j]   | (mn[j+4]>>4)<<6
+                          byte[j+8] = (sc[j+4]&0xF) | (mn[j+4]&0xF)<<4
+      bytes 16-143  128 nibble bytes: chunk c of 4 (32 bytes each); byte l
+                  holds element c*64+l in its LOW nibble and element
+                  c*64+32+l in its HIGH nibble.
+
+    All bit placements are written inline here, independently of
+    gguf/quants.py's own packer — this test is the spec anchor.
+    """
+    blk = np.zeros(144, dtype=np.uint8)
+    blk[0:2] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    blk[2:4] = np.frombuffer(np.float16(dmin).tobytes(), np.uint8)
+    for j in range(4):
+        blk[4 + j] = (sc6[j] & 63) | (((sc6[j + 4] >> 4) & 3) << 6)
+        blk[8 + j] = (mn6[j] & 63) | (((mn6[j + 4] >> 4) & 3) << 6)
+        blk[12 + j] = (sc6[j + 4] & 0xF) | ((mn6[j + 4] & 0xF) << 4)
+    for c in range(4):
+        for l in range(32):
+            blk[16 + c * 32 + l] = (q[c * 64 + l] & 0xF) | ((q[c * 64 + 32 + l] & 0xF) << 4)
+    return blk
+
+
+def test_q4_k_bit_layout_hand_built():
+    """Decoder pinned to the Q4_K spec via hand-built super-block bytes.
+
+    The repo's other K-quant tests are own-writer->own-reader round trips; a
+    consistent spec misread would pass them all and decode real checkpoints
+    to garbage.  Here every byte is placed by hand from the ggml layout and
+    the expected floats are computed from first principles:
+        w[i] = d * sc6[i//32] * q[i] - dmin * mn6[i//32]
+    Scale/min values are chosen with nonzero HIGH bits for j>=4 (where the
+    6-bit packing splits 4+2 across bytes) and distinct low nibbles, so any
+    bit-position error changes the result.  Two blocks with different
+    patterns also pin the 144-byte block stride.
+    """
+    # powers-of-two super scales => all float products exact in f32
+    specs = [
+        (0.5, 0.25,
+         [7, 21, 35, 63, 18, 41, 52, 9],     # j>=4 entries have high bits set
+         [3, 14, 60, 27, 33, 50, 12, 45],
+         [(3 * i + i // 32) % 16 for i in range(256)]),
+        (1.5, 0.75,
+         [9, 52, 41, 18, 63, 35, 21, 7],
+         [45, 12, 50, 33, 27, 60, 14, 3],
+         [(5 * i + 2 + i // 64) % 16 for i in range(256)]),
+    ]
+    raw = np.concatenate([_build_q4_k_block(*s) for s in specs])
+    got = dequantize(raw, GGML_Q4_K, 512)
+    expect = np.empty(512, dtype=np.float64)
+    for b, (d, dmin, sc6, mn6, q) in enumerate(specs):
+        for i in range(256):
+            expect[b * 256 + i] = d * sc6[i // 32] * q[i] - dmin * mn6[i // 32]
+    np.testing.assert_array_equal(got, expect.astype(np.float32))
+
+    # the device repack path must read the identical layout
+    gq = to_group_quant(raw, GGML_Q4_K, 2, 256)
+    np.testing.assert_allclose(gq.dequant().reshape(-1),
+                               expect.astype(np.float32), rtol=0, atol=0)
+    for b, (d, dmin, sc6, mn6, q) in enumerate(specs):
+        np.testing.assert_array_equal(gq.values[b], np.asarray(q))
+        np.testing.assert_array_equal(
+            gq.scales[b], np.float32(d) * np.asarray(sc6, np.float32))
+        np.testing.assert_array_equal(
+            gq.mins[b], np.float32(dmin) * np.asarray(mn6, np.float32))
+
+
+def _build_q6_k_block(d, sc8, q6):
+    """Hand-assemble one 210-byte Q6_K super-block from the ggml spec.
+
+    Layout (llama.cpp block_q6_K):
+      bytes 0-127   ql: low 4 bits of the 6-bit quants
+      bytes 128-191 qh: high 2 bits, four element groups per byte
+      bytes 192-207 16 int8 per-16-element scales
+      bytes 208-209 f16 d
+    Bit positions (per half of 128 elements, l in 0..31, base = half*128):
+      ql[half*64 + l]      = q[base+l]&0xF    | (q[base+64+l]&0xF)<<4
+      ql[half*64 + 32 + l] = q[base+32+l]&0xF | (q[base+96+l]&0xF)<<4
+      qh[half*32 + l]      = (q[base+l]>>4) | (q[base+32+l]>>4)<<2
+                           | (q[base+64+l]>>4)<<4 | (q[base+96+l]>>4)<<6
+    q6 here is the RAW unsigned 6-bit value (0..63); dequant subtracts 32.
+    """
+    blk = np.zeros(210, dtype=np.uint8)
+    for half in range(2):
+        base = half * 128
+        for l in range(32):
+            a, b = q6[base + l], q6[base + 32 + l]
+            c, e = q6[base + 64 + l], q6[base + 96 + l]
+            blk[half * 64 + l] = (a & 0xF) | ((c & 0xF) << 4)
+            blk[half * 64 + 32 + l] = (b & 0xF) | ((e & 0xF) << 4)
+            blk[128 + half * 32 + l] = ((a >> 4) | ((b >> 4) << 2)
+                                        | ((c >> 4) << 4) | ((e >> 4) << 6))
+    blk[192:208] = np.asarray(sc8, dtype=np.int8).view(np.uint8)
+    blk[208:210] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    return blk
+
+
+def test_q6_k_bit_layout_hand_built():
+    """Decoder pinned to the Q6_K spec via hand-built super-block bytes.
+
+    Expected floats from first principles: w[i] = d * sc8[i//16] * (q6[i]-32).
+    q6 covers the full 0..63 range (both nibble halves of ql AND all four
+    2-bit positions of qh, in both 128-element halves where the packing
+    shifts); scales include negatives.  Two blocks pin the 210-byte stride.
+    """
+    specs = [
+        (0.25,
+         [1, -2, 3, -4, 5, -6, 7, -8, 100, -100, 9, -10, 11, -12, 13, -128],
+         [(11 * i + 5) % 64 for i in range(256)]),
+        (0.0625,
+         [-128, 13, -12, 11, -10, 9, -100, 100, -8, 7, -6, 5, -4, 3, -2, 1],
+         [(7 * i + 3 + i // 32) % 64 for i in range(256)]),
+    ]
+    raw = np.concatenate([_build_q6_k_block(*s) for s in specs])
+    got = dequantize(raw, GGML_Q6_K, 512)
+    expect = np.empty(512, dtype=np.float64)
+    for b, (d, sc8, q6) in enumerate(specs):
+        for i in range(256):
+            expect[b * 256 + i] = d * sc8[i // 16] * (q6[i] - 32)
+    np.testing.assert_array_equal(got, expect.astype(np.float32))
+
+    gq = to_group_quant(raw, GGML_Q6_K, 2, 256)
+    np.testing.assert_allclose(gq.dequant().reshape(-1),
+                               expect.astype(np.float32), rtol=0, atol=0)
+    for b, (d, sc8, q6) in enumerate(specs):
+        np.testing.assert_array_equal(gq.values[b],
+                                      np.asarray(q6, np.int32) - 32)
+        np.testing.assert_array_equal(
+            gq.scales[b], np.float32(d) * np.asarray(sc8, np.float32))
+
+
 def test_voice_embedding_roundtrip(tmp_path, rng):
     emb = rng.standard_normal(128).astype(np.float32)
     path = str(tmp_path / "voice.emb.gguf")
