@@ -130,7 +130,10 @@ def orchestrate() -> int:
         return budget - (time.monotonic() - t0)
 
     log(f"bench: orchestrating (budget {budget:.0f}s)")
-    fl_timeout = max(480, remaining() - 520)
+    # floor at 480 s so the relay stall can't starve the flagship, but never
+    # past the remaining budget itself (ADVICE r3: a user-set
+    # MIOTTS_BENCH_BUDGET < ~500 s must still bound the whole run)
+    fl_timeout = max(min(480.0, remaining() - 30), remaining() - 520)
     log(f"bench: flagship 64-stream 2.6b-q4_k batched serving "
         f"(timeout {fl_timeout:.0f}s) ...")
     fl = _run_sub([sys.executable, "benchmarks/bench_batch.py", "64", "96"],

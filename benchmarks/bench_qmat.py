@@ -238,6 +238,16 @@ def main() -> int:
             qts = [make_qt(K, N, jnp.bfloat16) for K, N in SHAPES]
             fns = [lambda x, qt=qt: _qdot_group_pallas(
                 x.astype(jnp.bfloat16), qt) for qt in qts]
+        elif name == "w8a8":
+            # round-4: int8 activations x int8 weights -> int32 MXU dot,
+            # scales after (no per-weight VPU convert at all)
+            from miotts_tpu.ops.qmat import _qdot_w8a8_pallas
+            qts = [make_qt(K, N) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_w8a8_pallas(x, qt) for qt in qts]
+        elif name == "w8a8_packed":
+            from miotts_tpu.ops.qmat import _qdot_w8a8_pallas
+            qts = [make_qt(K, N, packed=True) for K, N in SHAPES]
+            fns = [lambda x, qt=qt: _qdot_w8a8_pallas(x, qt) for qt in qts]
         elif name == "xla":
             qts = [make_qt(K, N) for K, N in SHAPES]
             fns = [lambda x, qt=qt: _qdot_xla(x, qt) for qt in qts]

@@ -346,6 +346,184 @@ def _qdot_group_kernel(x_ref, v_ref, s_ref, o_ref, acc_ref, *, group,
         o_ref[:] = acc_ref[:]
 
 
+def _qdot_w8a8_kernel(xb_ref, sx_ref, v_ref, s_ref, o_ref, acc_ref, *,
+                      n_k_tiles):
+    """W8A8 GEMV (round 4): int8 activations x int8 weights on the MXU.
+
+    Every prior kernel family converts each weight to f32/bf16 on the VPU
+    before the dot — measured to be the M=1 pole (bf16-scales A/B moved the
+    marginal 0%, RESULTS.md).  Here the weights go from HBM to the MXU as
+    INTEGERS: the activation row is quantized per quant-group to int8
+    outside the kernel (one f32 scale per group), expanded block-diagonally
+    (like _qdot_group_kernel), and contracted with the raw int8 values in an
+    int8 x int8 -> int32 MXU dot.  Per-group scales (weight scale s[G, n] x
+    activation scale sx[G]) ride the [G, N] int32 partials — 2/group VPU ops
+    per weight instead of 2/weight.
+
+    Accuracy: the int8 activation quantization adds ~0.3% RMS relative
+    error on top of f32-exact dequant — an order below the Q4/Q6 weight
+    quantization noise (bounded in tests/test_qmat.py).  The mins term
+    (affine formats) is computed OUTSIDE with the dequantized activations,
+    so the total error rides the centered weights (see _qdot_w8a8_pallas).
+
+    Matches the reference hot loop /root/reference/src/test-to-speech.cpp:
+    164-192 (llama.cpp's quantize-activations-then-integer-dot strategy,
+    re-expressed for the MXU).
+
+    The block-diagonal expansion of the quantized activation row is built
+    OUTSIDE the kernel: this Mosaic has NO 8-bit elementwise arithmetic
+    (arith.muli / arith.shrui on vector<i8> fail to legalize — measured
+    round 4, qmat_r4 log), so an in-kernel int8 indicator multiply is
+    impossible, and XLA builds the [K//g, K] int8 expansion once per call.
+    The kernel re-reads its diagonal block per N tile (~+3-6% HBM traffic);
+    in exchange the kernel body is a PURE int8 MXU dot + scale ride.
+
+    Blocks: xb int8 [K_t//g, K_t] (diagonal block (j, j)), sx f32
+    [K_t//g, 128] (lane-replicated), v int8 [K_t, N_t], s f32 [K_t//g, N_t],
+    out/acc f32 [1, N_t]."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    d = jax.lax.dot_general(xb_ref[:], v_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # [G, N_t]
+    scale = s_ref[:].astype(jnp.float32) * sx_ref[:, 0:1]
+    acc_ref[:] += jnp.sum(d.astype(jnp.float32) * scale, axis=0,
+                          keepdims=True)
+
+    @pl.when(k_idx == n_k_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _qdot_w8a8_packed_kernel(xblo_ref, xbhi_ref, sx_ref, v_ref, s_ref, o_ref,
+                             acc_ref, *, n_k_tiles):
+    """W8A8 GEMV over nibble-packed values — the no-concat split structure
+    of _qdot_split_kernel fused with the int8 MXU dot of _qdot_w8a8_kernel.
+
+    The nibble unpack widens to i32 (Mosaic has no 8-bit bitwise ops, see
+    _qdot_w8a8_kernel) but truncates straight back to int8 for the MXU —
+    no int->float convert, no per-weight scale multiply, no unpack concat.
+    The quantized activation row is pre-split outside into the lo/hi nibble
+    halves of every group (matching the byte layout: byte row r of group b
+    holds w[b*g + r] lo / w[b*g + g/2 + r] hi) and expanded
+    block-diagonally at half-group granularity, also outside; each half is
+    contracted with its nibble plane in an int8 MXU dot and the two [G, N]
+    int32 partials sum before the scales ride them.
+
+    Blocks: xblo/xbhi int8 [K_t//g, K_t/2] (diagonal block (j, j)), sx f32
+    [K_t//g, 128], v uint8 [K_t/2, N_t], s f32 [K_t//g, N_t], out/acc f32
+    [1, N_t]."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vp = v_ref[:].astype(jnp.int32)                # uint8 [K_t/2, N_t] widened
+    w_lo = (vp & 0xF).astype(jnp.int8)             # trunci back to 8-bit for
+    w_hi = (vp >> 4).astype(jnp.int8)              #   the integer MXU feed
+    d = (jax.lax.dot_general(xblo_ref[:], w_lo, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+         + jax.lax.dot_general(xbhi_ref[:], w_hi, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32))  # [G, N_t]
+    scale = s_ref[:].astype(jnp.float32) * sx_ref[:, 0:1]
+    acc_ref[:] += jnp.sum(d.astype(jnp.float32) * scale, axis=0,
+                          keepdims=True)
+
+    @pl.when(k_idx == n_k_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _qdot_w8a8_pallas(x: jax.Array, qt: QTensor,
+                      interpret: bool = False) -> jax.Array:
+    """W8A8 GEMV path (see _qdot_w8a8_*_kernel).  x [1, K].
+
+    The activation row is quantized OUTSIDE the kernel, once per layer call
+    (K elements of VPU work vs K*N inside): per quant-group symmetric int8
+    with an f32 scale, so the in-kernel dot is pure int8 MXU work."""
+    M, K = x.shape
+    if M != 1:
+        raise ValueError(f"_qdot_w8a8_pallas is a GEMV kernel (M=1), got M={M}")
+    N = qt.values.shape[1]
+    g = qt.group
+    pack_div = 2 if qt.packed else 1
+    TILE_N = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    TILE_K = K
+    k_align = max(128, 8 * g, 64 * pack_div)
+    while ((TILE_N * TILE_K // pack_div > 512 * 1024 or TILE_K // g > 128)
+           and TILE_K % 2 == 0 and (TILE_K // 2) % k_align == 0):
+        TILE_K //= 2
+    n_k_tiles = K // TILE_K
+
+    # per-group symmetric activation quantization (f32 math, exact split)
+    xf = x.astype(jnp.float32).reshape(K // g, g)
+    amax = jnp.max(jnp.abs(xf), axis=1)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xf / sx[:, None]), -127, 127).astype(jnp.int8)
+    sxr = jnp.broadcast_to(sx[:, None], (K // g, 128))  # lane-replicated
+
+    def blockdiag(xrow, gg):
+        """[K'] int8 -> [K'//gg, K'] block-diagonal int8, built by XLA
+        (Mosaic cannot do 8-bit elementwise arithmetic in-kernel)."""
+        kk = xrow.shape[0]
+        ind = (jnp.arange(kk // gg)[:, None] == jnp.arange(kk)[None, :] // gg)
+        return jnp.where(ind, xrow[None, :], jnp.int8(0))
+
+    common = dict(
+        grid=(1, N // TILE_N, n_k_tiles),
+        out_specs=pl.BlockSpec((1, TILE_N), lambda m, i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, TILE_N), jnp.float32)],
+        interpret=interpret,
+    )
+    G_t = TILE_K // g
+    if qt.packed:
+        xb_lo = blockdiag(xq[:, : g // 2].reshape(K // 2), g // 2)
+        xb_hi = blockdiag(xq[:, g // 2:].reshape(K // 2), g // 2)
+        out = pl.pallas_call(
+            partial(_qdot_w8a8_packed_kernel, n_k_tiles=n_k_tiles),
+            in_specs=[
+                pl.BlockSpec((G_t, TILE_K // 2), lambda m, i, j: (j, j)),
+                pl.BlockSpec((G_t, TILE_K // 2), lambda m, i, j: (j, j)),
+                pl.BlockSpec((G_t, 128), lambda m, i, j: (j, 0)),
+                pl.BlockSpec((TILE_K // 2, TILE_N), lambda m, i, j: (j, i)),
+                pl.BlockSpec((G_t, TILE_N), lambda m, i, j: (j, i)),
+            ],
+            **common,
+        )(xb_lo, xb_hi, sxr, qt.values, qt.scales)
+    else:
+        xb = blockdiag(xq.reshape(K), g)
+        out = pl.pallas_call(
+            partial(_qdot_w8a8_kernel, n_k_tiles=n_k_tiles),
+            in_specs=[
+                pl.BlockSpec((G_t, TILE_K), lambda m, i, j: (j, j)),
+                pl.BlockSpec((G_t, 128), lambda m, i, j: (j, 0)),
+                pl.BlockSpec((TILE_K, TILE_N), lambda m, i, j: (j, i)),
+                pl.BlockSpec((G_t, TILE_N), lambda m, i, j: (j, i)),
+            ],
+            **common,
+        )(xb, sxr, qt.values, qt.scales)
+
+    if qt.mins is not None:
+        # mins term uses the DEQUANTIZED activations (xhat = xq * sx), the
+        # same values the int8 dot saw: the total is then sum xhat * (q*s-m)
+        # = sum xhat * w, so the activation-quant error scales with the
+        # CENTERED weight — using exact x here would leave a residual
+        # eps*(q*s) against the biased (0..15) quants, ~3x larger for Q4_K
+        xg = (sx * xq.astype(jnp.float32).sum(axis=1)).reshape(M, K // g)
+        out = out - jax.lax.dot_general(
+            xg, qt.mins.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if qt.n_out > 0 and qt.n_out != N:
+        out = out[:, : qt.n_out]
+    return out.astype(x.dtype)
+
+
 def _use_bf16_dot():
     """bf16 MXU variants for bf16 activations — opt-in while being
     TPU-measured.  MIOTTS_QDOT_BF16=1 -> bf16 dequant+dot; =after ->
@@ -366,12 +544,13 @@ def _use_pack4_split() -> bool:
 
 
 def _gemv_mode() -> str:
-    """Decode-GEMV (M=1) kernel selection: 'groupdot' = scale-after-dot
-    (packed or unpacked), 'plain' = the standard dequant-then-dot kernel.
+    """Decode-GEMV (M=1) kernel selection: 'w8a8' = int8 activations x int8
+    weights on the MXU (scale-after-dot), 'groupdot' = scale-after-dot with
+    bf16 MXU feed, 'plain' = the standard dequant-then-dot kernel.
     MIOTTS_QDOT_GEMV overrides; MIOTTS_QDOT_GROUPDOT=1 is the round-2
     opt-in alias for 'groupdot'."""
     mode = os.environ.get("MIOTTS_QDOT_GEMV", "")
-    if mode in ("groupdot", "plain"):
+    if mode in ("groupdot", "plain", "w8a8"):
         return mode
     if os.environ.get("MIOTTS_QDOT_GROUPDOT", "") == "1":
         return "groupdot"
@@ -691,7 +870,9 @@ def qdot(x: jax.Array, w) -> jax.Array:
         if pallas_ok:
             # scale-after-dot GEMV variant: M=1, bf16-sourced activations
             # (packed and unpacked values both supported since round 3)
-            if (_gemv_mode() == "groupdot" and x2.shape[0] == 1
+            if _gemv_mode() == "w8a8" and x2.shape[0] == 1:
+                y = _qdot_w8a8_pallas(x2, w)
+            elif (_gemv_mode() == "groupdot" and x2.shape[0] == 1
                     and x.dtype == jnp.bfloat16):
                 y = _qdot_group_pallas(x2, w)
             elif w.packed and _use_pack4_split():

@@ -161,6 +161,14 @@ class ContinuousBatcher:
         eng = self.engine
         cfgE = eng.config
         bucket = _round_up(max(1, prompt_len), cfgE.prompt_bucket)
+        # the prefill executable specializes on the wave size A: warm the
+        # two shapes real traffic hits — the full wave (cold start / burst
+        # refill) and A=1 (a single late-joining request, the most common
+        # partial wave at steady state; ADVICE r3)
+        _, self.cache = llm_prefill_slots(
+            eng.llm_params, jnp.zeros((1, bucket), jnp.int32),
+            jnp.ones((1,), jnp.int32), self.cache,
+            jnp.zeros((1,), jnp.int32), self.cfg)
         A = self.n_slots
         slots = jnp.arange(A, dtype=jnp.int32)
         last, self.cache = llm_prefill_slots(

@@ -371,3 +371,86 @@ def test_qdot_pallas_bf16after_interpret(rng):
                                       bf16_dot="after"))
         rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
         assert rel < 1e-2, rel
+
+
+# ---------------------------------------------------------------------------
+# W8A8 int8-MXU GEMV (round 4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gtype,packed", [
+    (GGML_Q8_0, False), (GGML_Q6_K, False),
+    (GGML_Q4_K, False), (GGML_Q4_K, True),
+])
+def test_qdot_w8a8_interpret_accuracy(gtype, packed, rng):
+    """W8A8 GEMV (int8 activations, int8 MXU dot, scales after) must match
+    the f32-dequant reference within the activation-quantization bound.
+
+    The bound is part of the VERDICT r3 item-1 contract: per-group int8
+    activation quant adds <=1/254 of the group absmax per element; measured
+    RMS relative error must stay well under the Q4/Q6 weight noise."""
+    from miotts_tpu.ops.qmat import _qdot_w8a8_pallas
+    qt, ref = _make_qt(gtype, 256, 512, rng)
+    if packed:
+        qt = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((1, 512)), jnp.float32)
+    want = np.asarray(x) @ ref.T
+    got = np.asarray(_qdot_w8a8_pallas(x, qt, interpret=True))
+    rms_rel = (np.sqrt(np.mean((got - want) ** 2))
+               / (np.sqrt(np.mean(want ** 2)) + 1e-12))
+    assert rms_rel < 0.01, f"W8A8 RMS relative error {rms_rel:.4f}"
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.5)
+
+
+def test_qdot_w8a8_multi_ktile(rng):
+    """Multiple K tiles: per-tile partial sums and per-tile sx blocks must
+    compose exactly (8192-K forces >=2 tiles under the VMEM bound)."""
+    from miotts_tpu.ops.qmat import _qdot_w8a8_pallas
+    qt, ref = _make_qt(GGML_Q4_K, 128, 8192, rng)
+    qp = qt.pack4()
+    x = jnp.asarray(rng.standard_normal((1, 8192)) * 0.1, jnp.float32)
+    want = np.asarray(x) @ ref.T
+    for q in (qt, qp):
+        got = np.asarray(_qdot_w8a8_pallas(x, q, interpret=True))
+        rms_rel = (np.sqrt(np.mean((got - want) ** 2))
+                   / (np.sqrt(np.mean(want ** 2)) + 1e-12))
+        assert rms_rel < 0.01, f"packed={q.packed}: {rms_rel:.4f}"
+
+
+def test_qdot_w8a8_bf16_activations(rng):
+    """bf16 decode activations route through the same quantization (cast to
+    f32 first) and return bf16."""
+    from miotts_tpu.ops.qmat import _qdot_w8a8_pallas
+    qt, ref = _make_qt(GGML_Q6_K, 128, 512, rng)
+    x = jnp.asarray(rng.standard_normal((1, 512)), jnp.bfloat16)
+    want = np.asarray(x.astype(jnp.float32)) @ ref.T
+    got = np.asarray(_qdot_w8a8_pallas(x, qt, interpret=True)
+                     .astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.5)
+
+
+def test_qdot_w8a8_rejects_m_gt_1(rng):
+    from miotts_tpu.ops.qmat import _qdot_w8a8_pallas
+    qt, _ = _make_qt(GGML_Q8_0, 128, 256, rng)
+    with pytest.raises(ValueError, match="M=1"):
+        _qdot_w8a8_pallas(jnp.zeros((2, 256), jnp.float32), qt,
+                          interpret=True)
+
+
+def test_qdot_w8a8_env_dispatch(rng, monkeypatch):
+    """qdot routes M=1 GEMVs (any activation dtype, packed or not) through
+    the W8A8 kernel under MIOTTS_QDOT_GEMV=w8a8."""
+    import miotts_tpu.ops.qmat as qm
+    calls = []
+    monkeypatch.setenv("MIOTTS_QDOT_GEMV", "w8a8")
+    monkeypatch.setattr(qm, "_use_pallas", lambda: True)
+    monkeypatch.setattr(qm, "_qdot_w8a8_pallas",
+                        lambda x, w: calls.append("w8a8") or qm._qdot_xla(x, w))
+    monkeypatch.setattr(qm, "_qdot_pallas",
+                        lambda x, w: calls.append("plain") or qm._qdot_xla(x, w))
+    qt, _ = _make_qt(GGML_Q8_0, 128, 256, rng)
+    q4, _ = _make_qt(GGML_Q4_K, 128, 256, rng)
+    qm.qdot(jnp.zeros((1, 256), jnp.bfloat16), qt)      # -> w8a8
+    qm.qdot(jnp.zeros((1, 256), jnp.float32), qt)       # f32 M=1 -> w8a8 too
+    qm.qdot(jnp.zeros((2, 256), jnp.bfloat16), qt)      # M>1 -> plain
+    qm.qdot(jnp.zeros((1, 256), jnp.bfloat16), q4.pack4())  # packed -> w8a8
+    assert calls == ["w8a8", "w8a8", "plain", "w8a8"]
