@@ -79,13 +79,20 @@ def cmd_synth(args) -> int:
 
 
 def cmd_stream(args) -> int:
-    """Real-time streaming to a PCM sink through the bounded queue
-    (`examples/stream-to-device.cpp` equivalent; the audio device is
-    replaced by an s16le PCM stream suitable for `aplay -f S16_LE -r 44100`
-    or network serving)."""
+    """Real-time streaming through the bounded queue
+    (`examples/stream-to-device.cpp` equivalent): `--device` plays on the
+    host audio device via a spawned PCM player; the default sink is an
+    s16le PCM stream suitable for `aplay -f S16_LE -r 44100` piping or
+    network serving."""
     from .runtime.playback import stream_to_sink
     engine = _make_engine(args)
     voice = _load_voice(args)
+    if args.device:
+        return 0 if stream_to_sink(
+            engine, voice, args.prompt, options=_make_options(args),
+            chunk_samples=args.chunk_samples,
+            queue_seconds=args.queue_seconds,
+            dump_fed_path=args.dump_fed_wav or None, device=True) else 1
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     try:
         ok = stream_to_sink(engine, voice, args.prompt, out=out,
@@ -231,6 +238,9 @@ def main(argv=None) -> int:
     p.add_argument("--queue-seconds", type=float, default=10.0)
     p.add_argument("--dump-fed-wav", default="",
                    help="also capture exactly what the sink consumed as WAV")
+    p.add_argument("--device", action="store_true",
+                   help="play on the host audio device (pw-play/paplay/"
+                        "aplay; stream-to-device.cpp equivalent)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("bench", help="streaming benchmark")

@@ -140,31 +140,126 @@ class PCMSink:
             pass
 
 
+def find_audio_player(sample_rate: int) -> Optional[list]:
+    """argv of an installed CLI player that accepts s16le mono PCM on
+    stdin, or None.  Checked in order: PipeWire, PulseAudio, ALSA."""
+    import shutil
+    if shutil.which("pw-play"):
+        return ["pw-play", "--rate", str(sample_rate), "--channels", "1",
+                "--format", "s16", "-"]
+    if shutil.which("paplay"):
+        return ["paplay", "--raw", f"--rate={sample_rate}", "--channels=1",
+                "--format=s16le"]
+    if shutil.which("aplay"):
+        return ["aplay", "-q", "-f", "S16_LE", "-r", str(sample_rate),
+                "-c", "1", "-t", "raw", "-"]
+    return None
+
+
+class AudioDeviceSink(PCMSink):
+    """Plays on the host's audio device by piping s16le PCM into a player
+    subprocess (pw-play / paplay / aplay) — the counterpart of the
+    reference's miniaudio device callback
+    (`stream-to-device.cpp:238-299`).  The player's own device clock paces
+    consumption: when its buffer fills, the pipe write blocks, which stalls
+    this consumer thread, which lets the bounded queue fill, which
+    backpressures synthesis — the same chain as the reference's cv wait.
+    On underrun the device player waits for data (silence) instead of this
+    sink zero-filling; `--dump-fed-wav` therefore captures exactly the
+    samples the device consumed, like the reference's fed-audio capture."""
+
+    def __init__(self, queue: BoundedSampleQueue, sample_rate: int,
+                 block: int = 4096, player_cmd: Optional[list] = None):
+        import subprocess
+        cmd = player_cmd or find_audio_player(sample_rate)
+        if cmd is None:
+            raise RuntimeError(
+                "no audio player found (tried pw-play, paplay, aplay); "
+                "stream to a PCM sink instead (cli stream -o -)")
+        self._proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        super().__init__(queue, self._proc.stdin, sample_rate, block=block,
+                         pace_realtime=False)
+
+    def stop(self):
+        super().stop()
+        try:
+            self._proc.stdin.close()
+        except Exception:
+            pass
+        try:
+            self._proc.wait(timeout=5)
+        except Exception:
+            self._proc.kill()
+
+
+class _CaptureOut:
+    """Tee for --dump-fed-wav: records exactly what the sink consumed."""
+
+    def __init__(self, inner: IO[bytes], fed: list):
+        self._inner = inner
+        self._fed = fed
+
+    def write(self, b):
+        self._fed.append(bytes(b))
+        return self._inner.write(b)
+
+    def flush(self):
+        try:
+            self._inner.flush()
+        except Exception:
+            pass
+
+    def close(self):
+        try:
+            self._inner.close()
+        except Exception:
+            pass
+
+
 def stream_to_sink(engine, voice, text, out: IO[bytes] | None = None,
                    options=None, chunk_samples: int = 4096,
                    queue_seconds: float = 10.0,
-                   dump_fed_path: str | None = None) -> bool:
+                   dump_fed_path: str | None = None,
+                   device: bool = False,
+                   player_cmd: Optional[list] = None) -> bool:
     """Full producer/consumer pipeline: synthesis -> bounded queue -> sink.
 
     Mirrors `stream-to-device.cpp:184-309` incl. `--dump-fed-wav` (capture
-    exactly what the consumer drained)."""
+    exactly what the consumer drained).  `device=True` plays on the host
+    audio device (AudioDeviceSink); without a player installed it degrades
+    to a real-time paced null sink (the stream still runs at device-clock
+    pace and `--dump-fed-wav` still captures)."""
     from .engine import Options
     options = options or Options()
-    out = out or sys.stdout.buffer
     sr = engine.sample_rate
     queue = BoundedSampleQueue(int(queue_seconds * sr))
     fed: list[bytes] = []
 
-    class CaptureOut:
-        def write(self, b):
-            fed.append(b)
-            return out.write(b)
+    if device:
+        try:
+            sink = AudioDeviceSink(queue, sr, block=chunk_samples,
+                                   player_cmd=player_cmd)
+            if dump_fed_path:
+                sink.out = _CaptureOut(sink.out, fed)
+        except RuntimeError as e:
+            print(f"stream: {e}; falling back to paced null sink",
+                  file=sys.stderr)
+            import io
 
-        def flush(self):
-            out.flush()
-
-    sink = PCMSink(queue, CaptureOut() if dump_fed_path else out, sr,
-                   block=chunk_samples)
+            class _Null(io.RawIOBase):
+                def write(self, b):
+                    return len(b)
+            null_out: IO[bytes] = _Null()
+            sink = PCMSink(queue,
+                           _CaptureOut(null_out, fed) if dump_fed_path
+                           else null_out,
+                           sr, block=chunk_samples, pace_realtime=True)
+    else:
+        out = out or sys.stdout.buffer
+        sink = PCMSink(queue, _CaptureOut(out, fed) if dump_fed_path else out,
+                       sr, block=chunk_samples)
     sink.start()
 
     def cb(samples, sample_rate, is_last):

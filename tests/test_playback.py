@@ -107,3 +107,61 @@ def test_stream_to_sink_end_to_end(tmp_path, rng):
     assert ok
     pcm = np.frombuffer(buf.getvalue(), dtype="<i2")
     assert len(pcm) == 6 * eng.samples_per_token
+
+
+def test_audio_device_sink_plays_via_subprocess(tmp_path):
+    """AudioDeviceSink pipes exactly the produced PCM into the player
+    process (stream-to-device.cpp:238-299 counterpart); a stand-in player
+    copies stdin to a file so we can assert byte-exact delivery."""
+    import sys
+    import time
+
+    from miotts_tpu.audio.wav import f32_to_s16
+    from miotts_tpu.runtime.playback import AudioDeviceSink
+
+    sink_file = str(tmp_path / "consumed.pcm")
+    player = [sys.executable, "-c",
+              "import sys, shutil; shutil.copyfileobj("
+              f"sys.stdin.buffer, open({sink_file!r}, 'wb'))"]
+    q = BoundedSampleQueue(100_000)
+    sink = AudioDeviceSink(q, 44100, block=1024, player_cmd=player)
+    sink.start()
+    rng = np.random.default_rng(0)
+    samples = (rng.standard_normal(5000) * 0.2).astype(np.float32)
+    q.push(samples)
+    q.drain_wait()
+    time.sleep(0.1)
+    sink.stop()
+    q.close()
+    got = np.fromfile(sink_file, dtype="<i2")
+    np.testing.assert_array_equal(got, f32_to_s16(samples).astype("<i2"))
+
+
+def test_stream_device_fallback_without_player(tmp_path, rng, monkeypatch, capsys):
+    """device=True without any installed player degrades to the paced null
+    sink: the stream completes and --dump-fed-wav still captures."""
+    from miotts_tpu.gguf import write_voice_embedding
+    from miotts_tpu.models.synthetic import write_synthetic_codec
+    from miotts_tpu.runtime import playback
+    from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
+    from miotts_tpu.text import format_speech_tokens
+
+    codec_path = str(tmp_path / "codec.gguf")
+    cfg = write_synthetic_codec(codec_path, n_codes=64, seed=3)
+    emb_path = str(tmp_path / "v.emb.gguf")
+    write_voice_embedding(emb_path, rng.standard_normal(cfg.adaln_dim) * 0.3)
+    monkeypatch.setattr(playback, "find_audio_player", lambda sr: None)
+
+    eng = TTSEngine(EngineConfig(codec_path=codec_path, code_bucket=16))
+    voice = VoiceModel(emb_path)
+    text = format_speech_tokens(rng.integers(0, 64, 6))
+    fed_path = str(tmp_path / "fed.wav")
+    ok = stream_to_sink(eng, voice, text, options=Options(skip_llm=True),
+                        chunk_samples=2048, device=True, dump_fed_path=fed_path)
+    assert ok
+    assert "falling back" in capsys.readouterr().err
+    from miotts_tpu.audio.wav import wav_read
+    fed, sr = wav_read(fed_path)
+    assert sr == eng.sample_rate
+    # paced null sink consumed the whole stream (possibly + zero-fill)
+    assert len(fed) >= 6 * eng.samples_per_token
