@@ -38,7 +38,7 @@ def test_two_process_psum(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -54,3 +54,16 @@ def test_two_process_psum(tmp_path):
                    if line.startswith("STEP "))
     assert len(steps) == 2, steps
     assert steps[0].split(" ", 2)[2] == steps[1].split(" ", 2)[2], steps
+    # phase 3: the cross-process serving chunk ran and was token-exact
+    # (the worker asserts equality; CHUNK only prints on success)
+    chunks = [line for _, out in outs for line in out.splitlines()
+              if line.startswith("CHUNK ")]
+    assert len(chunks) == 2, chunks
+    # phase 4 (round 4): a full ContinuousBatcher session across the
+    # process boundary — both processes served 3 requests with codes
+    # token-identical to their process-local run, and agree with each other
+    batches = sorted(line for _, out in outs for line in out.splitlines()
+                     if line.startswith("BATCHER "))
+    assert len(batches) == 2, batches
+    assert batches[0].split(" ", 2)[2] == batches[1].split(" ", 2)[2], batches
+    assert int(batches[0].split()[2]) > 0  # real codes were generated
