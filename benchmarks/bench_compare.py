@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Stream-vs-offline fidelity measured ON the chip (VERDICT r3 item 3).
+
+The reference's stream-compare contract (`examples/stream-compare.cpp:
+100-156,258-275`) is CPU-tested in tests/; this bench puts the measured
+numbers from real hardware into the record, in the two configurations that
+matter:
+
+  float  - the single-stream engine at its float-exact defaults: generate
+           token text once, decode offline vs streamed (peak-norm off both
+           sides), compare.  This is the literal reference contract.
+  serve  - the round-3 BATCHED serving defaults (i16 wire format +
+           pipelined codec, EngineConfig tri-state auto): one seeded
+           request through a ContinuousBatcher; its emitted audio vs an
+           offline float decode of its own codes.  The i16 path is
+           documented as <= 1 LSB (1/32767) per sample; this measures the
+           bound end-to-end on hardware.
+
+Metrics are computed in the 16-bit-PCM sink domain (both signals clipped to
+[-1, 1] first): every sink clamps exactly like the reference's WAV writer
+(`wav-writer.cpp:39-42`), so the clamp is not a stream-vs-offline delta --
+and the SYNTHETIC codec's unnormalized audio exceeds +-1 (real checkpoints
+do not), which would otherwise drown the i16 quantization term in shared
+clipping error.
+
+Prints compare.<config>.* metric lines (stderr) and ONE JSON line (stdout).
+
+Usage: python benchmarks/bench_compare.py
+Env: MIOTTS_BENCH_MODEL, MIOTTS_BENCH_TOKENS (default 128).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+
+def metrics(offline: np.ndarray, streamed: np.ndarray) -> dict:
+    from miotts_tpu.audio.metrics import (best_lag_rmse, log_spectral_distance,
+                                          waveform_errors)
+    out = {"offline_samples": len(offline), "stream_samples": len(streamed)}
+    offline = np.clip(offline, -1.0, 1.0)
+    streamed = np.clip(streamed, -1.0, 1.0)
+    if min(len(offline), len(streamed)) == 0:
+        return out
+    e = waveform_errors(offline, streamed)
+    out.update(mae=e["mae"], rmse=e["rmse"], max_abs=e["max_abs"],
+               lsd_db=log_spectral_distance(offline, streamed))
+    lag, r = best_lag_rmse(offline, streamed)
+    out.update(best_lag_samples=int(lag), best_lag_rmse=r)
+    return out
+
+
+def show(tag: str, m: dict) -> None:
+    for k, v in m.items():
+        v = f"{v:.8f}" if isinstance(v, float) else v
+        print(f"compare.{tag}.{k}={v}", file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    max_tokens = int(os.environ.get("MIOTTS_BENCH_TOKENS", "128"))
+    from bench import ensure_models
+    llm_path, codec_path, emb_path = ensure_models()
+
+    from miotts_tpu.runtime.batching import ContinuousBatcher
+    from miotts_tpu.runtime.engine import (EngineConfig, Options, TTSEngine,
+                                           VoiceModel)
+
+    engine = TTSEngine(EngineConfig(
+        model_path=llm_path, codec_path=codec_path,
+        max_tokens=max_tokens, temperature=0.8, seed=42))
+    voice = VoiceModel(emb_path)
+    t0 = time.perf_counter()
+    engine.warmup(max_codes=max_tokens, prompt_len=80)
+    print(f"bench_compare: warmup {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    result = {"metric": "compare.rmse", "unit": "abs_sample_err",
+              "model": os.environ.get("MIOTTS_BENCH_MODEL", "0.1b-q8_0")}
+
+    # --- float: the reference's single-stream contract -------------------
+    text = "fidelity comparison utterance for the streaming pipeline"
+    token_text = engine.generate_token_text(text, Options(seed=42))
+    opts = Options(skip_llm=True, apply_peak_normalization=False)
+    offline = engine.synthesize(voice, token_text, opts)
+    chunks = []
+    engine.synthesize_stream(
+        voice, token_text,
+        lambda s, sr, last: (chunks.append(s) or True) if s is not None else True,
+        options=opts)
+    streamed = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    m = metrics(offline, streamed)
+    show("float", m)
+    result["float"] = {k: round(v, 8) if isinstance(v, float) else v
+                       for k, v in m.items()}
+
+    # --- serve: batched path at round-3 serving defaults -----------------
+    captured = {}
+    schunks = []
+
+    def cb(s, sr, is_last):
+        if s is not None:
+            schunks.append(s)
+        return True
+
+    batcher = ContinuousBatcher(engine, n_slots=2, chunk_steps=20)
+    batcher.submit(text, voice, cb, Options(max_tokens=max_tokens, seed=42),
+                   on_finish=lambda r: captured.setdefault("codes",
+                                                           list(r.codes)))
+    batcher.run_until_done(max_iters=2000)
+    served = np.concatenate(schunks) if schunks else np.zeros(0, np.float32)
+    offline2 = engine.decode_codes(captured.get("codes", []), voice,
+                                   apply_peak_normalization=False)
+    m2 = metrics(offline2, served)
+    show("serve", m2)
+    result["serve"] = {k: round(v, 8) if isinstance(v, float) else v
+                       for k, v in m2.items()}
+
+    result["value"] = result["serve"].get("rmse", -1.0)
+    result["vs_baseline"] = result["float"].get("rmse", -1.0)
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

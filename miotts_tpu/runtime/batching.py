@@ -68,7 +68,8 @@ class ContinuousBatcher:
     def __init__(self, engine: TTSEngine, n_slots: int = 8,
                  chunk_steps: int = 20, quantized_kv: bool = False,
                  ctx_len: int | None = None, mesh=None,
-                 fused: bool = False, pipeline_depth: int = 2):
+                 fused: bool = False, pipeline_depth: int = 2,
+                 admit_wave: int = 0):
         """`mesh`: optional jax Mesh for sharded serving — the KV cache
         batch dim goes over 'data' and heads over 'model'
         (parallel/sharding.py); pair with engine.llm_params already sharded
@@ -80,12 +81,22 @@ class ContinuousBatcher:
         a relay-tunneled chip).  Host-side bookkeeping (budget stops,
         admissions) lags one chunk; per-slot request snapshots drop a
         stale in-flight chunk's tokens when a slot is finished/re-admitted
-        before its results arrive.  Depth 1 = the unpipelined loop."""
+        before its results arrive.  Depth 1 = the unpipelined loop.
+
+        `admit_wave`: cap on admissions per scheduler step (0 = admit into
+        every free slot at once, the default).  A cap staggers a cold-start
+        burst into sub-waves so the first sub-wave's prefill + first codec
+        decode are small and its first commits flow before the whole burst
+        is admitted (VERDICT r3 item 5).  Trade-off: the batched chunk's
+        cost is occupancy-independent (it steps the full slot batch), so
+        later sub-waves start 1 chunk apiece behind — which raises THEIR
+        time-to-first-audio; measure before enabling (benchmarks, r4)."""
         assert engine.llm_params is not None, "batching needs the LLM"
         self.engine = engine
         self.cfg = engine.llm_cfg
         self.n_slots = n_slots
         self.chunk_steps = chunk_steps
+        self.admit_wave = admit_wave
         self.mesh = mesh
         self.use_fused = fused
         if ctx_len is None:
@@ -240,6 +251,8 @@ class ContinuousBatcher:
         eng = self.engine
         admit: list[tuple[int, Request, list[int]]] = []
         for slot in range(self.n_slots):
+            if self.admit_wave > 0 and len(admit) >= self.admit_wave:
+                break
             if self.active[slot] or not self.waiting:
                 continue
             req = self.waiting.popleft()
