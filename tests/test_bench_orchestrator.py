@@ -61,6 +61,25 @@ def test_orchestrator_both_failed_still_prints_parsed_line(monkeypatch,
     assert line["value"] == 0.0 and "error" in line
 
 
+FIDELITY = {"metric": "compare.rmse", "value": 1.374e-05, "unit":
+            "abs_sample_err", "model": "0.1b-q8_0",
+            "float": {"rmse": 0.0, "max_abs": 0.0},
+            "serve": {"rmse": 1.374e-05, "max_abs": 3.05e-05}}
+
+
+def test_orchestrator_attaches_fidelity_when_budget_allows(monkeypatch,
+                                                           capsys):
+    def fake(cmd, env, timeout, tag):
+        return {"flagship": FLAGSHIP, "single": SINGLE,
+                "fidelity": FIDELITY}[tag]
+    monkeypatch.setattr(bench, "_run_sub", fake)
+    monkeypatch.setenv("MIOTTS_BENCH_BUDGET", "2800")
+    assert bench.orchestrate() == 0
+    line = _last_json(capsys)
+    assert line["fidelity"]["serve_max_abs"] == 3.05e-05
+    assert line["fidelity"]["float_rmse"] == 0.0
+
+
 def test_orchestrator_skips_single_when_budget_spent(monkeypatch, capsys):
     """With the budget nearly gone after the flagship, the single-stream
     pass must be SKIPPED (not started and timed out) so the artifact still
