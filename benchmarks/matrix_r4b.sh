@@ -56,3 +56,12 @@ run single_2.6b_512_win128_r4 MIOTTS_BENCH_MODEL=2.6b-q4_k \
     MIOTTS_BENCH_TOKENS=512 MIOTTS_STREAM_WINDOW=128 -- python bench.py
 
 echo "done -> $OUT"
+
+# 6) codec slot-scaling (stage data: codec_sync grows fastest with slots —
+#    1.05 -> 2.0 -> 2.8 s at 64/96/128; attribute compute vs transfer)
+run codec_b64 MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
+    python benchmarks/bench_codec.py 64 96
+run codec_b96 MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
+    python benchmarks/bench_codec.py 96 96
+run codec_b128 MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
+    python benchmarks/bench_codec.py 128 96

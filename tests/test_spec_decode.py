@@ -1,0 +1,218 @@
+"""Speculative decoding: exactness of the acceptance rule, greedy
+token-parity with plain decoding, and engine integration.
+
+The feature is beyond-reference (llama.cpp upstream ships it as
+examples/speculative; `/root/reference` is draft-less) — correctness is
+defined against the target model's own sampling semantics:
+  * temperature <= 0: spec output must be token-for-token IDENTICAL to
+    plain greedy decoding (one-hot dists make acceptance = argmax match).
+  * temperature > 0: the emitted-token DISTRIBUTION equals target sampling
+    (the Leviathan/Chen correctness result) — tested empirically on the
+    single-round marginal.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from miotts_tpu.gguf import write_voice_embedding
+from miotts_tpu.models.llm import spec_accept
+from miotts_tpu.models.synthetic import write_synthetic_codec, write_synthetic_llm
+from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("specmodels")
+    codec_path = str(d / "codec.gguf")
+    target_path = str(d / "target.gguf")
+    draft_path = str(d / "draft.gguf")
+    codec_cfg = write_synthetic_codec(codec_path, n_codes=64, seed=3)
+    # same vocab (n_speech), different capacity + weights: a real
+    # draft/target pair shape (e.g. MioTTS-0.1B drafting for 2.6B)
+    write_synthetic_llm(target_path, seed=5, n_speech=64)
+    write_synthetic_llm(draft_path, seed=9, n_speech=64)
+    emb_path = str(d / "voice.emb.gguf")
+    rng = np.random.default_rng(11)
+    write_voice_embedding(emb_path, rng.standard_normal(codec_cfg.adaln_dim) * 0.3)
+    return target_path, draft_path, codec_path, emb_path
+
+
+def _engine(paths, draft=None, **kw):
+    target_path, draft_path, codec_path, emb_path = paths
+    cfg = EngineConfig(
+        model_path=target_path, codec_path=codec_path,
+        draft_model_path=(draft_path if draft == "other"
+                          else target_path if draft == "self" else ""),
+        max_tokens=40, llm_dtype="float32",
+        prompt_bucket=32, code_bucket=16, **kw)
+    return TTSEngine(cfg), VoiceModel(emb_path)
+
+
+# ---------------------------------------------------------------------
+# Acceptance rule
+# ---------------------------------------------------------------------
+
+def test_spec_accept_marginal_distribution_exact():
+    """Single-round marginal: draft-sample d ~ p_d, then accept/resample —
+    the emitted token must be distributed exactly p_t (the core theorem).
+    Empirical check over many keys on a small vocab."""
+    V = 6
+    rng = np.random.default_rng(0)
+    t_logits = jnp.asarray(rng.standard_normal((2, V)) * 1.5, jnp.float32)
+    d_logits = jnp.asarray(rng.standard_normal((1, V)) * 1.5, jnp.float32)
+    temp = jnp.float32(1.0)
+
+    def one(key):
+        k_d, k_a = jax.random.split(key)
+        d = jax.random.categorical(k_d, d_logits[0])[None].astype(jnp.int32)
+        a, nxt = spec_accept(k_a, d, t_logits, d_logits, temp)
+        return jnp.where(a >= 1, d[0], nxt)
+
+    n = 40000
+    toks = jax.jit(jax.vmap(one))(jax.random.split(jax.random.PRNGKey(1), n))
+    counts = np.bincount(np.asarray(toks), minlength=V)
+    p_emp = counts / n
+    p_t = np.asarray(jax.nn.softmax(t_logits[0]))
+    # 4-sigma bound per bucket on the multinomial proportion
+    tol = 4.0 * np.sqrt(p_t * (1 - p_t) / n) + 1e-3
+    assert np.all(np.abs(p_emp - p_t) < tol), (p_emp, p_t)
+
+
+def test_spec_accept_greedy_semantics():
+    """temperature <= 0: accept iff draft == target argmax; the corrective
+    token is the target argmax."""
+    V = 8
+    t_logits = jnp.zeros((3, V)).at[0, 2].set(5.0).at[1, 4].set(5.0) \
+                                .at[2, 7].set(5.0)
+    d_logits = jnp.zeros((2, V)).at[0, 2].set(3.0).at[1, 1].set(3.0)
+    key = jax.random.PRNGKey(0)
+    # draft tokens = draft argmaxes [2, 1]: d_1 == target argmax (accept),
+    # d_2 != (reject) -> n_accept = 1, corrective = target argmax at row 1
+    a, nxt = spec_accept(key, jnp.asarray([2, 1], jnp.int32),
+                         t_logits, d_logits, jnp.float32(0.0))
+    assert int(a) == 1 and int(nxt) == 4
+    # both drafts match -> bonus from row 2
+    a, nxt = spec_accept(key, jnp.asarray([2, 4], jnp.int32),
+                         t_logits, d_logits.at[1, 1].set(0.0).at[1, 4].set(3.0),
+                         jnp.float32(0.0))
+    assert int(a) == 2 and int(nxt) == 7
+    # first draft rejected -> corrective = target argmax at row 0
+    a, nxt = spec_accept(key, jnp.asarray([5, 4], jnp.int32),
+                         t_logits, d_logits, jnp.float32(0.0))
+    assert int(a) == 0 and int(nxt) == 2
+
+
+# ---------------------------------------------------------------------
+# End-to-end greedy parity
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("spec_k", [1, 3, 6])
+def test_spec_greedy_matches_plain(paths, spec_k):
+    """Greedy spec decoding must reproduce plain greedy decoding exactly,
+    for any draft model and any k (chunk boundaries included)."""
+    plain, _ = _engine(paths)
+    opts = Options(max_tokens=33, temperature=0.0, seed=42)
+    want = plain.generate_tokens("speculative parity check", opts)
+
+    spec, _ = _engine(paths, draft="other", spec_tokens=spec_k)
+    got = spec.generate_tokens("speculative parity check", opts)
+    assert got == want
+    st = spec._spec_stats
+    assert st["rounds"] > 0 and 0 <= st["accepted"] <= st["drafted"]
+
+
+def test_spec_self_draft_accepts_everything(paths):
+    """draft == target at greedy: every draft token matches the target
+    argmax, so the acceptance rate must be exactly 1."""
+    plain, _ = _engine(paths)
+    opts = Options(max_tokens=25, temperature=0.0, seed=1)
+    want = plain.generate_tokens("self draft acceptance", opts)
+
+    spec, _ = _engine(paths, draft="self", spec_tokens=4)
+    got = spec.generate_tokens("self draft acceptance", opts)
+    assert got == want
+    st = spec._spec_stats
+    assert st["drafted"] > 0 and st["accepted"] == st["drafted"]
+
+
+def test_spec_respects_max_tokens(paths):
+    spec, _ = _engine(paths, draft="other", spec_tokens=5)
+    got = spec.generate_tokens("budget check", Options(max_tokens=7,
+                                                       temperature=0.0))
+    assert len(got) <= 7
+
+
+def test_spec_temperature_valid_codes(paths):
+    """Sampled spec decoding produces in-vocab tokens and plausible codes
+    (distributional path; exact parity is greedy-only by design)."""
+    spec, _ = _engine(paths, draft="other", spec_tokens=4)
+    got = spec.generate_tokens("sampled run", Options(max_tokens=30,
+                                                      temperature=1.0,
+                                                      seed=7))
+    assert 0 < len(got) <= 30
+    V = spec.llm_cfg.n_vocab
+    assert all(0 <= t < V for t in got)
+    # reproducible at the same seed
+    spec2, _ = _engine(paths, draft="other", spec_tokens=4)
+    again = spec2.generate_tokens("sampled run", Options(max_tokens=30,
+                                                         temperature=1.0,
+                                                         seed=7))
+    assert again == got
+
+
+def test_spec_warmup_then_generates(paths):
+    """warmup() precompiles the spec executables (draft prefill + spec
+    chunks) and must leave the engine in a clean state for real calls."""
+    spec, _ = _engine(paths, draft="other", spec_tokens=3)
+    spec.warmup(max_codes=16, prompt_len=16)
+    got = spec.generate_tokens("post warmup", Options(max_tokens=12,
+                                                      temperature=0.0))
+    plain, _ = _engine(paths)
+    want = plain.generate_tokens("post warmup", Options(max_tokens=12,
+                                                        temperature=0.0))
+    assert got == want
+
+
+def test_spec_rejects_hybrid_models(paths, tmp_path):
+    """Hybrid (LFM2) short-conv state cannot be rewound by the fill-based
+    rollback, so the engine must refuse the pairing outright instead of
+    silently corrupting output after the first rejected draft."""
+    from miotts_tpu.models.llm import LLMConfig
+    from miotts_tpu.models.synthetic import write_synthetic_llm
+    target_path, _, codec_path, _ = paths
+    lfm2 = str(tmp_path / "lfm2.gguf")
+    cfg0 = LLMConfig(arch="lfm2", n_layers=4, dim=64, n_heads=4,
+                     n_kv_heads=2, head_dim=16, ff_dim=128,
+                     n_vocab=256 + 3 + 64, n_ctx=512, qkv_bias=False,
+                     qk_norm=True, rope_style="neox",
+                     layer_types=("conv", "attn", "conv", "attn"),
+                     conv_l_cache=3)
+    write_synthetic_llm(lfm2, cfg=cfg0, seed=4)
+    with pytest.raises(ValueError, match="dense"):
+        TTSEngine(EngineConfig(model_path=lfm2, codec_path=codec_path,
+                               draft_model_path=target_path,
+                               llm_dtype="float32"))
+
+
+def test_spec_streaming_synthesis_end_to_end(paths):
+    """synthesize_stream with a draft configured routes through the unfused
+    loop and produces the same audio as the plain engine at greedy."""
+    plain, voice = _engine(paths)
+    spec, _ = _engine(paths, draft="other", spec_tokens=3)
+    opts = Options(max_tokens=30, temperature=0.0,
+                   apply_peak_normalization=False)
+
+    def collect(engine):
+        chunks = []
+        ok = engine.synthesize_stream(
+            voice, "stream parity", lambda s, sr, last:
+            (chunks.append(s) or True) if s is not None else True,
+            options=opts)
+        assert ok
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    a, b = collect(plain), collect(spec)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-5)
