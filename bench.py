@@ -48,16 +48,19 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def ensure_models():
-    """Build (once) the bench model files: 0.1B-shape Q8_0 LLM + full codec."""
+def ensure_models(model: str | None = None):
+    """Build (once) the bench model files for `model` (default: the
+    MIOTTS_BENCH_MODEL env selection): synthetic LLM at real shapes + full
+    codec + voice embedding."""
+    model = (model or MODEL).lower()
     os.makedirs(BENCH_DIR, exist_ok=True)
-    spec = _MODELS[MODEL]
-    llm_path = os.path.join(BENCH_DIR, f"bench-{MODEL}.gguf")
+    spec = _MODELS[model]
+    llm_path = os.path.join(BENCH_DIR, f"bench-{model}.gguf")
     codec_path = os.path.join(BENCH_DIR, "bench-miocodec.gguf")
     emb_path = os.path.join(BENCH_DIR, "bench-voice.emb.gguf")
 
     if not os.path.exists(llm_path):
-        log(f"bench: building synthetic {MODEL} LLM ...")
+        log(f"bench: building synthetic {model} LLM ...")
         from miotts_tpu.gguf import GGML_Q4_K, GGML_Q6_K, GGML_Q8_0
         from miotts_tpu.models.llm import LLMConfig
         from miotts_tpu.models.synthetic import write_synthetic_llm
@@ -146,6 +149,16 @@ def orchestrate() -> int:
     fl = _run_sub([sys.executable, "benchmarks/bench_batch.py", "64", "96"],
                   fl_env, fl_timeout, "flagship")
 
+    fid = None
+    if remaining() > 1500:
+        # on-chip stream-vs-offline fidelity (VERDICT r3 item 3): cheap at
+        # 0.1B (~4 min warm), carried in the artifact when budget allows
+        f_timeout = min(600, remaining() - 900)
+        log(f"bench: fidelity compare 0.1b-q8_0 (timeout {f_timeout:.0f}s) ...")
+        fid = _run_sub([sys.executable, "benchmarks/bench_compare.py"],
+                       dict(os.environ, MIOTTS_BENCH_MODEL="0.1b-q8_0"),
+                       f_timeout, "fidelity")
+
     single = None
     if remaining() > 240:
         # 900 s cap: warmup + passes fit in ~200 s, but the relay's
@@ -178,9 +191,23 @@ def orchestrate() -> int:
                 "ttfa_p50_sec": single.get("ttfa_p50_sec", -1.0),
                 "decode_tok_s": single.get("decode_tok_s", -1.0),
             }
+        if fid is not None:
+            out["fidelity"] = {
+                "model": fid.get("model", "0.1b-q8_0"),
+                "serve_rmse": fid.get("serve", {}).get("rmse", -1.0),
+                "serve_max_abs": fid.get("serve", {}).get("max_abs", -1.0),
+                "float_rmse": fid.get("float", {}).get("rmse", -1.0),
+            }
         print(json.dumps(out))
         return 0
     if single is not None:   # flagship failed; single-stream carries it
+        if fid is not None:
+            single = dict(single, fidelity={
+                "model": fid.get("model", "0.1b-q8_0"),
+                "serve_rmse": fid.get("serve", {}).get("rmse", -1.0),
+                "serve_max_abs": fid.get("serve", {}).get("max_abs", -1.0),
+                "float_rmse": fid.get("float", {}).get("rmse", -1.0),
+            })
         print(json.dumps(single))
         return 0
     print(json.dumps({"metric": "serve_bench.aggregate_x_realtime",

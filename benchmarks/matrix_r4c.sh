@@ -1,8 +1,6 @@
 #!/usr/bin/env bash
-# Round-4 measurement queue, phase 3: speculative-decoding mechanics on the
-# chip (0.1B drafts for 2.6B — the real MioTTS family pairing; synthetic
-# agreement is only a sanity point, the deliverable is the measured round
-# time + speedup-vs-acceptance curve, benchmarks/bench_spec.py).
+# Round-4 measurement queue, phase 3: speculative-decoding k sweep + 1.7B
+# (the flagship k=6 point runs in matrix_r4b.sh phase 5).
 set -u
 cd "$(dirname "$0")/.."
 OUT="${1:-benchmarks/matrix_r4}"
@@ -11,8 +9,6 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
 . benchmarks/run_matrix_lib.sh
 
-run spec_2.6b_k6 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_SPEC_K=6 -- \
-    python benchmarks/bench_spec.py 128
 run spec_2.6b_k4 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_SPEC_K=4 -- \
     python benchmarks/bench_spec.py 128
 run spec_2.6b_k8 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_SPEC_K=8 -- \
@@ -20,4 +16,4 @@ run spec_2.6b_k8 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_SPEC_K=8 -- \
 run spec_1.7b_k6 MIOTTS_BENCH_MODEL=1.7b-q6_k MIOTTS_SPEC_K=6 -- \
     python benchmarks/bench_spec.py 128
 
-echo "done -> $OUT"
+echo "phase3 done -> $OUT"

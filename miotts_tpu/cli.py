@@ -31,13 +31,22 @@ def _add_model_args(p: argparse.ArgumentParser, need_model=True):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--skip-llm", action="store_true",
                    help="treat --prompt as raw <|s_N|> token text")
+    p.add_argument("--draft-model", default="",
+                   help="smaller same-family GGUF (e.g. MioTTS-0.1B) for "
+                        "speculative decoding; exact output distribution, "
+                        "token-identical at --temp 0")
+    p.add_argument("--spec-tokens", type=int, default=6,
+                   help="draft tokens per speculative round (with "
+                        "--draft-model)")
 
 
 def _make_engine(args):
     from .runtime.engine import EngineConfig, TTSEngine
     return TTSEngine(EngineConfig(
         model_path=args.model, codec_path=args.codec,
-        temperature=args.temp, max_tokens=args.max_tokens, seed=args.seed))
+        temperature=args.temp, max_tokens=args.max_tokens, seed=args.seed,
+        draft_model_path=getattr(args, "draft_model", ""),
+        spec_tokens=getattr(args, "spec_tokens", 6)))
 
 
 def _make_options(args):
@@ -71,9 +80,18 @@ def cmd_synth(args) -> int:
     if not args.skip_llm and not args.model:
         print("Error: --model is required (or use --skip-llm)", file=sys.stderr)
         return 1
-    engine = _make_engine(args)
-    voice = _load_voice(args)
-    engine.synthesize_to_file(voice, args.prompt, args.output, _make_options(args))
+    try:
+        # engine construction can fail too (bad paths, draft/target vocab
+        # mismatch) — same reference failure semantics: message to stderr,
+        # exit 1, no WAV (test-to-speech.cpp error paths are fprintf +
+        # early return)
+        engine = _make_engine(args)
+        voice = _load_voice(args)
+        engine.synthesize_to_file(voice, args.prompt, args.output,
+                                  _make_options(args))
+    except (RuntimeError, ValueError, OSError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
     print(f"Saved: {args.output}", file=sys.stderr)
     return 0
 
@@ -193,6 +211,13 @@ def cmd_serve(args) -> int:
     import os
     from .runtime.engine import VoiceModel
     from .runtime.server import serve
+    if getattr(args, "draft_model", ""):
+        # speculation is single-stream only; loading the draft would just
+        # burn HBM the batched KV cache needs
+        print("Warning: --draft-model is ignored by `serve` (speculative "
+              "decoding is single-stream; batched serving amortizes weight "
+              "reads across slots already)", file=sys.stderr)
+        args.draft_model = ""
     engine = _make_engine(args)
     engine.warmup()
     voices = {}

@@ -1060,6 +1060,177 @@ def llm_generate_chunk(params: dict, last_logits: jax.Array, cache: dict,
     return buf, i, done, last, cache, key
 
 
+# ---------------------------------------------------------------------------
+# Speculative decoding (beyond-reference: llama.cpp upstream ships this as
+# examples/speculative; the reference itself is draft-less.  TPU framing: the
+# M=1 decode GEMV is HBM-bound at ~2.5 ms/token floor for 2.6B-Q4_K and six
+# kernel families failed to close the last 1.6x (benchmarks/RESULTS.md r4) —
+# amortizing ONE target weight read over k+1 verified tokens is the
+# structural fix, and the M=k+1 verify rides the same M-tiled MXU kernels
+# as prefill.)
+# ---------------------------------------------------------------------------
+
+def _spec_probs(logits: jax.Array, temperature: jax.Array) -> jax.Array:
+    """The sampling distribution `sample_token` draws from: softmax(l/T) for
+    T > 0, one-hot argmax for T <= 0 (greedy).  logits [..., V] f32."""
+    t = jnp.asarray(temperature, jnp.float32)
+    p = jax.nn.softmax(logits / jnp.maximum(t, 1e-6), axis=-1)
+    onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1],
+                            dtype=jnp.float32)
+    return jnp.where(t > 0, p, onehot)
+
+
+def spec_accept(key: jax.Array, draft_tokens: jax.Array,
+                target_logits: jax.Array, draft_logits: jax.Array,
+                temperature: jax.Array):
+    """Speculative-sampling acceptance rule (Leviathan et al. 2023 /
+    Chen et al. 2023), exact w.r.t. the target sampling distribution.
+
+    draft_tokens [k] i32 drawn from p_d(i) = probs(draft_logits[i]);
+    target_logits [k+1, V] — row i is the target dist that verifies
+    draft_tokens[i], row k the bonus dist after all k drafts;
+    Returns (n_accept, next_token): the emitted round is
+    draft_tokens[:n_accept] + [next_token], where next_token is a residual
+    resample max(p_t - p_d, 0) at the first rejection, or a bonus sample
+    from target_logits[k] when all k drafts are accepted.  The standard
+    correctness result: the emitted tokens are distributed exactly as
+    token-by-token target sampling.  At temperature <= 0 both dists are
+    one-hot, so acceptance degrades to `draft == target argmax` and the
+    output equals greedy target decoding token-for-token (the parity test).
+    """
+    k = draft_tokens.shape[0]
+    p_t = _spec_probs(target_logits[:k], temperature)        # [k, V]
+    p_d = _spec_probs(draft_logits, temperature)             # [k, V]
+    k_u, k_r = jax.random.split(key)
+    u = jax.random.uniform(k_u, (k,))
+    idx = jnp.arange(k)
+    ratio = p_t[idx, draft_tokens] / jnp.maximum(p_d[idx, draft_tokens],
+                                                 1e-30)
+    accept = u < ratio                                       # min(1,.) implicit
+    n_accept = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))
+    j = jnp.minimum(n_accept, k - 1)
+    residual = jnp.maximum(p_t[j] - p_d[j], 0.0)
+    rsum = jnp.sum(residual)
+    residual = jnp.where(rsum > 0, residual / jnp.maximum(rsum, 1e-30),
+                         p_t[j])
+    bonus = _spec_probs(target_logits[k], temperature)
+    dist = jnp.where(n_accept == k, bonus, residual)
+    nxt = jax.random.categorical(k_r, jnp.log(jnp.maximum(dist, 1e-30)))
+    return n_accept, nxt.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dcfg", "n_steps", "k_spec"),
+         donate_argnames=("cache", "dcache"))
+def llm_generate_chunk_spec(params: dict, dparams: dict, pending: jax.Array,
+                            cache: dict, dcache: dict, key: jax.Array,
+                            temperature: jax.Array, stop_ids: jax.Array,
+                            cfg: LLMConfig, dcfg: LLMConfig,
+                            n_steps: int, k_spec: int):
+    """Generate >= n_steps tokens on device with draft-model speculation.
+
+    `pending` [1] i32: the newest sampled-but-not-yet-processed token (the
+    caller has already emitted and stop-checked it).  Each round: the draft
+    model extends pending with k_spec sampled tokens (plus one alignment
+    step so its cache always covers every token the round may keep); ONE
+    target forward over [pending, d_1..d_k] verifies all drafts and yields
+    the bonus dist; `spec_accept` keeps a prefix and samples the corrective
+    token; both caches roll back to the accepted prefix by fill (rejected
+    positions are overwritten by the next round's writes, the same
+    invisible-beyond-fill contract the chunked decode uses).
+
+    Caches must be sized with >= k_spec + 1 headroom beyond the token
+    budget.  PRNG: k_spec splits per round for drafting + one for
+    acceptance — the sample stream intentionally differs from
+    llm_generate_chunk (exact parity holds at temperature <= 0, where both
+    are greedy target decoding).
+
+    Greedy-parity caveat on real TPU hardware (measured round 4): the M=1
+    decode GEMV evaluates its f32 dot at effectively-bf16 MXU precision
+    (pallas-vs-XLA max-abs ~1% at M=1; exactly 0 at M=8/64), so the
+    verify pass (M=k+1, full f32 emulation) can disagree with the plain
+    M=1 path on NEAR-TIE argmaxes — the same class of divergence as
+    llama.cpp CPU-vs-CUDA greedy runs.  On CPU (and anywhere the matmul
+    paths agree) greedy parity is token-exact (tests/test_spec_decode.py);
+    on random synthetic weights near-ties are dense and flips are common,
+    on real speech-token checkpoints they are rare.  The output
+    distribution remains exact w.r.t. the verify-path logits either way.
+
+    Returns (buf [n_steps + k_spec + 1] i32 (-1 padded), n_generated, done,
+    pending_out, cache, dcache, key, rounds, accepted): `accepted / (rounds
+    * k_spec)` is the draft acceptance rate; emitted tokens per round =
+    accepted/rounds + 1."""
+    K = k_spec
+    BUF = n_steps + K + 1
+    buf0 = jnp.full((BUF,), -1, jnp.int32)
+
+    def cond(c):
+        cnt, done = c[0], c[1]
+        return jnp.logical_and(cnt < n_steps, jnp.logical_not(done))
+
+    def body(c):
+        cnt, done, pending, cache, dcache, key, buf, rounds, accepted = c
+        n = cache["fill"][0]
+        # --- draft K tokens; then one alignment step so the draft cache
+        # also covers d_K (needed when the whole round is accepted)
+        d_toks, d_logits = [], []
+        tok = pending
+        for _ in range(K):
+            lg, dcache = llm_forward(dparams, tok[:, None],
+                                     dcache["fill"][:, None], dcache, dcfg)
+            lg = lg[:, 0]                                    # [1, V]
+            key, sub = jax.random.split(key)
+            d = sample_token(lg, temperature, sub)           # [1]
+            d_toks.append(d[0])
+            d_logits.append(lg[0])
+            tok = d
+        _, dcache = llm_forward(dparams, tok[:, None],
+                                dcache["fill"][:, None], dcache, dcfg)
+        d_toks = jnp.stack(d_toks)                           # [K]
+        d_logits = jnp.stack(d_logits)                       # [K, V]
+
+        # --- ONE target forward verifies every draft (M = K+1 rides the
+        # M-tiled prefill kernels; weights read once for the whole round)
+        vtoks = jnp.concatenate([pending, d_toks])[None, :]  # [1, K+1]
+        vpos = (n + jnp.arange(K + 1))[None, :]
+        t_logits, cache = llm_forward(params, vtoks, vpos, cache, cfg)
+        t_logits = t_logits[0]                               # [K+1, V]
+
+        key, sub = jax.random.split(key)
+        a, nxt = spec_accept(sub, d_toks, t_logits, d_logits, temperature)
+
+        # --- round outputs: d_1..d_a then the corrective/bonus token,
+        # truncated at the first stop token (which itself is not emitted,
+        # matching llm_generate_chunk)
+        slots = jnp.arange(K + 1)
+        out = jnp.where(slots < a, d_toks[jnp.minimum(slots, K - 1)],
+                        jnp.where(slots == a, nxt, -1))
+        is_stop = jnp.any(out[:, None] == stop_ids[None, :], axis=-1) \
+            & (out >= 0)
+        any_stop = jnp.any(is_stop)
+        first_stop = jnp.argmax(is_stop)
+        n_emit = jnp.where(any_stop, first_stop, a + 1)
+        round_out = jnp.where(slots < n_emit, out, -1)
+        buf = jax.lax.dynamic_update_slice(buf, round_out, (cnt,))
+
+        # --- fill rollback: cache keeps [.., pending, d_1..d_kept); the
+        # corrective token never entered either cache (it is the next
+        # round's `pending`)
+        kept = jnp.minimum(n_emit, a)
+        fill_new = n + 1 + kept
+        cache = dict(cache, fill=jnp.full_like(cache["fill"], fill_new))
+        dcache = dict(dcache, fill=jnp.full_like(dcache["fill"], fill_new))
+        pending = jnp.where(any_stop, pending, nxt[None])
+        return (cnt + n_emit, any_stop, pending, cache, dcache, key, buf,
+                rounds + 1, accepted + a)
+
+    (cnt, done, pending, cache, dcache, key, buf, rounds,
+     accepted) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(False), pending, cache, dcache,
+                     key, buf0, jnp.int32(0), jnp.int32(0)))
+    buf = jnp.where(jnp.arange(BUF) < cnt, buf, -1)
+    return buf, cnt, done, pending, cache, dcache, key, rounds, accepted
+
+
 @jax.jit
 def sample_token(logits: jax.Array, temperature: jax.Array,
                  key: jax.Array) -> jax.Array:

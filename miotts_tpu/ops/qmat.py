@@ -863,6 +863,12 @@ def qdot(x: jax.Array, w) -> jax.Array:
     if isinstance(w, QTensor):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
+        # pad small non-multiple-of-8 M (e.g. the speculative verify's
+        # M = k+1 rows) up to the sublane width; M=1 stays the GEMV path
+        m_pad = 0
+        if 1 < x2.shape[0] and x2.shape[0] % 8:
+            m_pad = 8 - x2.shape[0] % 8
+            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
         K = x2.shape[1]
         pallas_ok = (_PALLAS_OK and _use_pallas()
                      and K % 128 == 0 and K % w.group == 0
@@ -883,6 +889,8 @@ def qdot(x: jax.Array, w) -> jax.Array:
                 y = _qdot_pallas(x2, w)
         else:
             y = _qdot_xla(x2, w)
+        if m_pad:
+            y = y[:-m_pad]
         return y.reshape(*lead, -1)
     return jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (1,)), ((), ())),

@@ -33,7 +33,8 @@ from ..gguf import GGUFReader, load_voice_embedding
 from ..models.codec import CodecConfig, codec_decode_spec, load_codec_params
 from ..models.llm import (
     LLMConfig, init_kv_cache, llm_decode_step, llm_forward,
-    llm_generate_chunk, llm_prefill, load_llm_params, sample_token,
+    llm_generate_chunk, llm_generate_chunk_spec, llm_prefill,
+    load_llm_params, sample_token,
 )
 from ..ops.istft import spec_to_audio_bucketed
 from ..text import build_prompt, normalize_tts_text, parse_speech_tokens
@@ -365,6 +366,16 @@ class EngineConfig:
     code_bucket: int = 32
     llm_dtype: str = "bfloat16"
     quantized_kv: bool = False   # int8 KV cache (north-star extension)
+    # Speculative decoding (beyond-reference: llama.cpp upstream ships it as
+    # examples/speculative; the reference itself is draft-less).  A small
+    # draft model (e.g. MioTTS-0.1B for a 2.6B target — same tokenizer and
+    # vocab across the family) proposes `spec_tokens` tokens per round and
+    # ONE target forward verifies them all, amortizing the HBM-bound M=1
+    # weight read over up to spec_tokens+1 tokens.  Output distribution is
+    # EXACT (spec_accept); at temperature <= 0 output is token-for-token
+    # identical to plain greedy decoding.  Uses the unfused streaming path.
+    draft_model_path: str = ""
+    spec_tokens: int = 6
     # Fused streaming: run chunk generation + commit policy + codec decode
     # in ONE executable (avoids per-emit program switching, ~2.3 ms/token on
     # this runtime).  Stage timing note: the codec share of fused steps is
@@ -497,6 +508,31 @@ class TTSEngine:
             self._stop_ids_dev = jnp.asarray([self._eos_id, self._im_end_id],
                                              jnp.int32)
 
+        self.draft_params = None
+        self.draft_cfg: LLMConfig | None = None
+        self._dcache = None
+        self._spec_stats: dict | None = None
+        if (config.model_path and config.draft_model_path
+                and config.spec_tokens > 0):
+            with GGUFReader(config.draft_model_path) as r:
+                self.draft_cfg = LLMConfig.from_gguf(r)
+                dtype = (jnp.bfloat16 if config.llm_dtype == "bfloat16"
+                         else jnp.float32)
+                self.draft_params, _ = load_llm_params(r, self.draft_cfg,
+                                                       dtype=dtype)
+            if self.draft_cfg.n_vocab != self.llm_cfg.n_vocab:
+                raise ValueError(
+                    f"draft vocab ({self.draft_cfg.n_vocab}) != target vocab "
+                    f"({self.llm_cfg.n_vocab}) — speculative decoding needs "
+                    f"a same-tokenizer draft (the MioTTS family qualifies)")
+            if self.llm_cfg.layer_types or self.draft_cfg.layer_types:
+                # hybrid (LFM2) short-conv state advances on every forward
+                # and cannot be rewound by the fill-based rollback: a
+                # rejected draft would permanently corrupt the conv state
+                raise ValueError(
+                    "speculative decoding supports dense attention models "
+                    "only (hybrid LFM2 conv state cannot roll back)")
+
         codec_reader = GGUFReader(config.codec_path)
         self.codec_params, self.codec_cfg = load_codec_params(codec_reader)
         codec_reader.close()
@@ -593,7 +629,36 @@ class TTSEngine:
                     n_real=jnp.asarray(1, jnp.int32))
                 lm.block_until_ready()
                 _mark(f"llm chunk={chunk} + codec interleave")
-            if self.config.fused_streaming:
+            if self.draft_params is not None:
+                # speculative path: draft prefill + the spec chunk at both
+                # cadences (stream check interval / offline 64), with the
+                # same spec-headroom cache bucket generate_tokens will use
+                dcfg = self.draft_cfg
+                need_s = (bucket_p + self.config.max_tokens + 64
+                          + self.config.spec_tokens + 8)
+                s_cache_s = min(_bucket_len(need_s, 256), self.config.n_ctx)
+                if s_cache_s != s_cache:
+                    cache = init_kv_cache(cfg, 1, s_cache_s, dtype=dtype,
+                                          quantized=self.config.quantized_kv)
+                    last, cache = llm_prefill(self.llm_params, toks,
+                                              jnp.asarray([8], jnp.int32),
+                                              cache, cfg)
+                dcache = init_kv_cache(dcfg, 1, s_cache_s, dtype=dtype,
+                                       quantized=self.config.quantized_kv)
+                _, dcache = llm_prefill(self.draft_params, toks,
+                                        jnp.asarray([8], jnp.int32),
+                                        dcache, dcfg)
+                K = max(1, self.config.spec_tokens)
+                pending = jnp.zeros((1,), jnp.int32)
+                for chunk in sorted({self.config.stream_check_interval, 64}):
+                    out = llm_generate_chunk_spec(
+                        self.llm_params, self.draft_params, pending, cache,
+                        dcache, jax.random.PRNGKey(0), jnp.float32(1.0),
+                        stop_ids, cfg, dcfg, chunk, K)
+                    out[0].block_until_ready()
+                    pending, cache, dcache = out[3], out[4], out[5]
+                    _mark(f"spec chunk={chunk} (k={K})")
+            if self.config.fused_streaming and self.draft_params is None:
                 # precompile the fused streaming step: one bucket per
                 # geometric length in full mode; a single fixed bucket in
                 # sliding-window mode
@@ -763,6 +828,9 @@ class TTSEngine:
         # so a 2048-slot cache for a 200-token utterance would waste ~10x
         # attention HBM traffic.
         need = bucket + max_tok + 64
+        if self.draft_params is not None:
+            # speculation overshoots by up to spec_tokens+1 per chunk
+            need += self.config.spec_tokens + 8
         s_cache = min(_bucket_len(need, 256), self.config.n_ctx)
         if self._cache is None or self._cache["k"].shape[3] != s_cache:
             self._cache = init_kv_cache(
@@ -786,6 +854,10 @@ class TTSEngine:
         key = jax.random.PRNGKey(seed)
         temp_arr = jnp.float32(temp)
         stop_ids = jnp.asarray([self._eos_id, self._im_end_id], jnp.int32)
+        if self.draft_params is not None and max_tok > 0:
+            return self._spec_loop(toks, n, last, cache, key, temp_arr,
+                                   stop_ids, chunk, max_tok, s_cache,
+                                   on_token, profile)
         generated: list[int] = []
         n_gen = 0
         stopped = False
@@ -810,6 +882,72 @@ class TTSEngine:
                     self._cache = cache
                     return generated
         self._cache = cache
+        return generated
+
+    def _spec_loop(self, toks, n, last, cache, key, temp_arr, stop_ids,
+                   chunk, max_tok, s_cache, on_token, profile) -> list[int]:
+        """Draft-speculated generation loop (`llm_generate_chunk_spec`).
+
+        The draft model prefills the same prompt, the first token is
+        sampled host-side from the exact target dist, and each device chunk
+        runs draft-propose / target-verify rounds.  Greedy output is
+        token-for-token identical to the plain loop; at temperature > 0 the
+        output DISTRIBUTION is exact but the sample stream differs (the
+        PRNG is consumed per draft + per acceptance, not per token).
+        Acceptance stats land in self._spec_stats."""
+        dcfg = self.draft_cfg
+        dtype = (jnp.bfloat16 if self.config.llm_dtype == "bfloat16"
+                 else jnp.float32)
+        if self._dcache is None or self._dcache["k"].shape[3] != s_cache:
+            self._dcache = init_kv_cache(dcfg, 1, s_cache, dtype=dtype,
+                                         quantized=self.config.quantized_kv)
+        dcache = dict(self._dcache, fill=jnp.zeros((1,), jnp.int32))
+        _, dcache = llm_prefill(self.draft_params, jnp.asarray(toks),
+                                jnp.asarray([n], jnp.int32), dcache, dcfg)
+
+        key, sub = jax.random.split(key)
+        pending = sample_token(last, temp_arr, sub)        # exact target dist
+        tid0 = int(pending[0])
+        self._spec_stats = {"rounds": 0, "accepted": 0, "drafted": 0}
+        generated: list[int] = []
+        if tid0 in (self._eos_id, self._im_end_id):
+            return generated
+        generated.append(tid0)
+        n_gen = 1
+        if profile:
+            profile.llm_tokens = n_gen
+        if on_token is not None and not on_token(tid0, n_gen):
+            return generated
+
+        K = max(1, self.config.spec_tokens)
+        stopped = False
+        while n_gen < max_tok and not stopped:
+            t1 = time.perf_counter()
+            (buf, cnt, done, pending, cache, dcache, key, rounds,
+             accepted) = llm_generate_chunk_spec(
+                self.llm_params, self.draft_params, pending, cache, dcache,
+                key, temp_arr, stop_ids, self.llm_cfg, dcfg, chunk, K)
+            buf = np.asarray(buf)
+            cnt = int(cnt)
+            if profile:
+                profile.llm_sec += time.perf_counter() - t1
+            self._spec_stats["rounds"] += int(rounds)
+            self._spec_stats["accepted"] += int(accepted)
+            self._spec_stats["drafted"] += int(rounds) * K
+            take = min(cnt, max_tok - n_gen)
+            stopped = bool(done) or take < cnt
+            for j in range(take):
+                tid = int(buf[j])
+                generated.append(tid)
+                n_gen += 1
+                if profile:
+                    profile.llm_tokens = n_gen
+                if on_token is not None and not on_token(tid, n_gen):
+                    self._cache = cache
+                    self._dcache = dcache
+                    return generated
+        self._cache = cache
+        self._dcache = dcache
         return generated
 
     def generate_token_text(self, text: str, options: Options = Options()) -> str:
@@ -914,7 +1052,20 @@ class TTSEngine:
         spt = cfg.samples_per_token
         lens = [len(c) for c in codes_list]
         bucket = _bucket_len(max(lens), self.config.code_bucket)
-        B = len(codes_list)
+        B_real = len(codes_list)
+        # batch bucket: the committing-slot count varies round to round in
+        # real traffic (staggered commits, partial waves), and an exact-B
+        # jit key would compile a fresh executable for every distinct size
+        # — pad with zero-length dummy rows instead (their emission slices
+        # are empty; rows B_real.. are never read back).  Buckets: powers
+        # of two up to 16, then multiples of 16 (exact at the measured
+        # serving shapes 64/96/128; <=16% padding waste worst case)
+        if B_real <= 16:
+            B = 1
+            while B < B_real:
+                B *= 2
+        else:
+            B = _round_up(B_real, 16)
         padded = np.zeros((B, bucket), np.int32)
         embs = np.zeros((B, cfg.adaln_dim), np.float32)
         for i, (c, v) in enumerate(zip(codes_list, voices)):
@@ -930,9 +1081,13 @@ class TTSEngine:
             s = max(0, min(int(b), total - E))
             starts.append(s)
             offs.append(int(b) - s)
+        lens_arr = np.ones((B,), np.int32)
+        lens_arr[:B_real] = lens
+        starts_arr = np.zeros((B,), np.int32)
+        starts_arr[:B_real] = starts
         audio = _codec_audio_sliced_vmapped(
             self.codec_params, jnp.asarray(padded), jnp.asarray(embs), cfg,
-            jnp.asarray(lens, jnp.int32), jnp.asarray(starts, jnp.int32), E,
+            jnp.asarray(lens_arr), jnp.asarray(starts_arr), E,
             self.config.serving_i16_transfer)
         return audio, offs, n_samp
 
@@ -1244,7 +1399,8 @@ class TTSEngine:
             return ok
 
         if (self.config.fused_streaming and self.llm_params is not None
-                and not self.config.pipeline_codec):
+                and not self.config.pipeline_codec
+                and self.draft_params is None):
             ok = self._stream_fused(voice, text, emit_range, timed_callback,
                                     options, profile)
             profile.total_sec = time.perf_counter() - t_total0

@@ -33,6 +33,12 @@ cfg = LLMConfig(arch="qwen2", n_layers=2, dim=256, n_heads=4, n_kv_heads=2,
                 qkv_bias=True, qk_norm=False)
 write_synthetic_llm(d + "/MioTTS-synthetic-Q4_K_M.gguf", seed=5,
                     quant_type=GGML_Q4_K, cfg=cfg, mixed_k=True)
+# a smaller same-vocab draft so the battery's speculative-decoding step
+# (greedy draft-verify parity) executes in CI too
+import dataclasses
+dcfg = dataclasses.replace(cfg, n_layers=1, ff_dim=256)
+write_synthetic_llm(d + "/MioTTS-0.1B-synthetic-Q4_K.gguf", seed=11,
+                    quant_type=GGML_Q4_K, cfg=dcfg)
 rng = np.random.default_rng(7)
 write_voice_embedding(d + "/jp_female.emb.gguf",
                       (rng.standard_normal(cfgc.adaln_dim) * 0.3)

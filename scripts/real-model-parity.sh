@@ -42,7 +42,9 @@ OUT="${PARITY_OUT:-parity_out}"
 mkdir -p "$OUT"
 
 CODEC="$MODELS/miocodec.gguf"
-LLM=$(ls "$MODELS"/MioTTS-*.gguf 2>/dev/null | head -1)
+# prefer a non-0.1B target so the 0.1B (if present) stays the spec draft
+LLM=$(ls "$MODELS"/MioTTS-*.gguf 2>/dev/null | grep -v "0\.1B" | head -1)
+[ -n "$LLM" ] || LLM=$(ls "$MODELS"/MioTTS-*.gguf 2>/dev/null | head -1)
 VOICE=$(ls "$MODELS"/*.emb.gguf 2>/dev/null | head -1)
 
 fail=0
@@ -90,6 +92,32 @@ if [ -n "$LLM" ]; then
     python -m miotts_tpu.cli compare -m "$LLM" -c "$CODEC" -v "$VOICE" \
         -p "ストリーミングとオフラインの比較テスト。" --max-tokens 256 \
         --seed 42 || fail=1
+
+    # 7. speculative decoding: with a second (smaller) family model
+    # available, greedy draft-verify output must be byte-identical to
+    # plain greedy synthesis — AND this measures the real acceptance rate
+    # (synthetic weights cannot; benchmarks/bench_spec.py curve applies)
+    DRAFT=$(ls "$MODELS"/MioTTS-0.1B-*.gguf 2>/dev/null | head -1)
+    if [ -n "$DRAFT" ] && [ "$DRAFT" != "$LLM" ]; then
+        step "7. speculative greedy parity (draft: $DRAFT)"
+        python -m miotts_tpu.cli synth -m "$LLM" -c "$CODEC" -v "$VOICE" \
+            -p "こんにちは、音声合成のテストです。" --max-tokens 256 -t 0 \
+            --seed 42 -o "$OUT/synth_greedy.wav" || fail=1
+        python -m miotts_tpu.cli synth -m "$LLM" -c "$CODEC" -v "$VOICE" \
+            --draft-model "$DRAFT" --spec-tokens 6 \
+            -p "こんにちは、音声合成のテストです。" --max-tokens 256 -t 0 \
+            --seed 42 -o "$OUT/synth_spec.wav" || fail=1
+        if cmp -s "$OUT/synth_greedy.wav" "$OUT/synth_spec.wav"; then
+            echo "speculative greedy parity: BYTE-IDENTICAL"
+        else
+            # not an automatic failure: at bf16 a near-tie argmax can flip
+            # between the S=1 decode and S=K+1 verify logit paths (same
+            # class as XLA fusion nondeterminism); f32 (llm_dtype) is exact
+            echo "speculative WAVs differ — check for near-tie flips:"
+            python -m miotts_tpu.cli analyze "$OUT/synth_greedy.wav" \
+                "$OUT/synth_spec.wav" || fail=1
+        fi
+    fi
 else
     echo; echo "(no MioTTS-*.gguf found — LLM steps skipped)"
 fi

@@ -415,6 +415,36 @@ def test_per_request_seed_and_temperature(engine):
     assert g[0] == g[1] == a[3]
 
 
+def test_sliced_decode_batch_bucket_padding_exact(engine):
+    """decode_codes_batch_sliced pads the batch dim to a bucket (varying
+    committing-set sizes in real traffic must not each compile a fresh
+    executable).  Dummy rows must not change any real stream's samples:
+    every bucket size (here B_real=3 -> bucket 4, and B_real=5 -> 8) must
+    reproduce the stream's own full decode slice exactly."""
+    eng, voice = engine
+    rng = np.random.default_rng(0)
+    spt = eng.codec_cfg.samples_per_token
+    all_codes = [list(rng.integers(0, 64, size=n)) for n in (9, 12, 7, 10, 11)]
+
+    for take in (3, 5):
+        codes = all_codes[:take]
+        begins = [2 * spt] * take
+        ends = [(len(c) - 1) * spt for c in codes]
+        segs = eng.decode_codes_batch_sliced(
+            codes, [voice] * take, begins, ends)
+        for c, b, e, seg in zip(codes, begins, ends, segs):
+            # reference: the same window from a full single-stream decode
+            full = eng.decode_codes(c, voice, apply_peak_normalization=False)
+            want = full[b:e]
+            assert seg.shape == want.shape
+            if eng.config.serving_i16_transfer:
+                # i16 wire format clips at +-1 like every 16-bit sink
+                np.testing.assert_allclose(seg, np.clip(want, -1.0, 1.0),
+                                           atol=1.01 / 32767.0)
+            else:
+                np.testing.assert_allclose(seg, want, atol=1e-5)
+
+
 def test_admit_wave_staggers_and_preserves_output(engine):
     """admit_wave caps admissions per scheduler step (staggered sub-wave
     admission, VERDICT r3 item 5).  Per-request PRNG keys make each

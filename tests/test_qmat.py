@@ -34,6 +34,19 @@ def test_qdot_xla_matches_dense(gtype, rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_qdot_small_odd_m_padded(rng):
+    """M in (1, 8) not a multiple of the sublane width (the speculative
+    verify's M = k+1 rows) is padded to 8 inside qdot and unpadded after;
+    results must match dense exactly at every such M."""
+    qt, ref = _make_qt(GGML_Q4_K, 256, 512, rng)
+    for m in (2, 5, 7, 9):
+        x = jnp.asarray(rng.standard_normal((m, 512)), jnp.float32)
+        got = np.asarray(qdot(x, qt))
+        want = np.asarray(x) @ ref.T
+        assert got.shape == (m, 256)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_qdot_batched_leading_dims(rng):
     qt, ref = _make_qt(GGML_Q8_0, 16, 256, rng)
     x = jnp.asarray(rng.standard_normal((2, 3, 256)), jnp.float32)
