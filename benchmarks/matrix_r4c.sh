@@ -16,4 +16,8 @@ run spec_2.6b_k8 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_SPEC_K=8 -- \
 run spec_1.7b_k6 MIOTTS_BENCH_MODEL=1.7b-q6_k MIOTTS_SPEC_K=6 -- \
     python benchmarks/bench_spec.py 128
 
+# sampling cost vs batch (bench_step's surgery is argmax-only — the real
+# chunk pays B x V threefry gumbels per step; rbg = hardware RNG control)
+run sample_threefry MIOTTS_DUMMY=0 -- python benchmarks/bench_sample.py
+run sample_rbg JAX_DEFAULT_PRNG_IMPL=rbg -- python benchmarks/bench_sample.py
 echo "phase3 done -> $OUT"

@@ -163,6 +163,12 @@ def cmd_bench(args) -> int:
             print(f"{k}={v:.6f} ({100.0 * v / total:.2f}%)")
         else:
             print(f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}")
+    st = getattr(engine, "_spec_stats", None)
+    if st and st.get("drafted"):
+        # speculative decoding observability (with --draft-model)
+        print(f"stream_bench.spec_rounds={st['rounds']}")
+        print(f"stream_bench.spec_accept_rate="
+              f"{st['accepted'] / st['drafted']:.4f}")
     return 0
 
 
