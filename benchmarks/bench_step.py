@@ -52,8 +52,7 @@ def patched(name):
 
         if name == "no_attn":
             patch("_attend",
-                  lambda q, k, v, fill, pos, ks=None, vs=None,
-                  k_cur=None, v_cur=None:
+                  lambda q, k, v, fill, pos, *a, **kw:
                   jnp.zeros((q.shape[0], q.shape[1],
                              q.shape[2] * q.shape[3]), q.dtype))
         elif name == "no_qdot":
