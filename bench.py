@@ -196,6 +196,7 @@ def orchestrate() -> int:
                 "model": fid.get("model", "0.1b-q8_0"),
                 "serve_rmse": fid.get("serve", {}).get("rmse", -1.0),
                 "serve_max_abs": fid.get("serve", {}).get("max_abs", -1.0),
+                "wire_max_abs": fid.get("wire", {}).get("max_abs", -1.0),
                 "float_rmse": fid.get("float", {}).get("rmse", -1.0),
             }
         print(json.dumps(out))
@@ -206,6 +207,7 @@ def orchestrate() -> int:
                 "model": fid.get("model", "0.1b-q8_0"),
                 "serve_rmse": fid.get("serve", {}).get("rmse", -1.0),
                 "serve_max_abs": fid.get("serve", {}).get("max_abs", -1.0),
+                "wire_max_abs": fid.get("wire", {}).get("max_abs", -1.0),
                 "float_rmse": fid.get("float", {}).get("rmse", -1.0),
             })
         print(json.dumps(single))

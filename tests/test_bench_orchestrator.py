@@ -61,10 +61,11 @@ def test_orchestrator_both_failed_still_prints_parsed_line(monkeypatch,
     assert line["value"] == 0.0 and "error" in line
 
 
-FIDELITY = {"metric": "compare.rmse", "value": 1.374e-05, "unit":
+FIDELITY = {"metric": "compare.rmse", "value": 3.05e-05, "unit":
             "abs_sample_err", "model": "0.1b-q8_0",
             "float": {"rmse": 0.0, "max_abs": 0.0},
-            "serve": {"rmse": 1.374e-05, "max_abs": 3.05e-05}}
+            "serve": {"rmse": 1.374e-05, "max_abs": 3.05e-05},
+            "wire": {"rmse": 1.1e-05, "max_abs": 3.05e-05}}
 
 
 def test_orchestrator_attaches_fidelity_when_budget_allows(monkeypatch,
@@ -77,6 +78,7 @@ def test_orchestrator_attaches_fidelity_when_budget_allows(monkeypatch,
     assert bench.orchestrate() == 0
     line = _last_json(capsys)
     assert line["fidelity"]["serve_max_abs"] == 3.05e-05
+    assert line["fidelity"]["wire_max_abs"] == 3.05e-05
     assert line["fidelity"]["float_rmse"] == 0.0
 
 
