@@ -59,6 +59,8 @@ def main() -> int:
         def timed(n_steps, reps=5):
             # own state per measurement: the chunk donates its cache, so
             # buffers must be rethreaded and never reused across timed()s
+            import gc
+            gc.collect()   # 2 live caches at B=128/ctx512 OOM a v5e (r4)
             cache = init_kv_cache(cfg, B, ctx, dtype=jnp.bfloat16,
                                   quantized=qkv)
             toks = jnp.zeros((B, 64), jnp.int32)

@@ -130,9 +130,9 @@ def main() -> int:
         batcher.run_until_done(max_iters=2000)
         stream = (np.concatenate(schunks) if schunks
                   else np.zeros(0, np.float32))
-        return stream, captured.get("codes", [])
+        return stream, captured.get("codes", []), [len(s) for s in schunks]
 
-    served, codes = serve_once()
+    served, codes, chunk_lens = serve_once()
     offline2 = engine.decode_codes(codes, voice,
                                    apply_peak_normalization=False)
     m2 = metrics(offline2, served)
@@ -142,24 +142,34 @@ def main() -> int:
 
     # --- wire: i16 vs float transfers, identical seed/schedule -----------
     engine.config.i16_transfer = False
-    served_f, codes_f = serve_once()
+    served_f, codes_f, _ = serve_once()
     engine.config.i16_transfer = None   # restore the tri-state default
     if codes_f == codes:
         m3 = metrics(served_f, served)
         # Out-of-range synthetic audio exposes an order-of-operations
         # nonlinearity: the i16 path clips ON DEVICE before the host
         # crossfade, the float path crossfades unclipped values (clip
-        # happens at the sink).  Real audio is in-range, where both orders
-        # coincide and the bound is 1 LSB — report the in-range-masked
-        # stats alongside so the synthetic artifact is separable.
+        # happens at the sink).  Real audio is in-range, where both
+        # orders coincide and the bound is 1 LSB.  Mask BOTH effects to
+        # recover that bound on synthetic audio: exclude out-of-range
+        # samples AND crossfade spans (the first ~30 ms of the chunk that
+        # follows each partial chunk — partial = emission end, so the
+        # next chunk opens an emission and blends the held tail).
         n = min(len(served), len(served_f))
         a, b = served[:n], served_f[:n]
         mask = np.abs(b) <= 0.999
+        xfade = min(engine.sample_rate * 3 // 100, 4096)
+        pos, boundary = 0, True   # the very first chunk has an empty tail
+        for cl in chunk_lens:
+            if boundary:
+                mask[pos:pos + xfade] = False
+            boundary = cl < 4096
+            pos += cl
         if mask.any():
             d = np.abs(np.clip(a[mask], -1, 1) - np.clip(b[mask], -1, 1))
             m3["in_range_max_abs"] = float(d.max())
             m3["in_range_rmse"] = float(np.sqrt((d ** 2).mean()))
-            m3["out_of_range_pct"] = float(100.0 * (~mask).mean())
+            m3["masked_pct"] = float(100.0 * (~mask).mean())
         show("wire", m3)
         result["wire"] = {k: round(v, 8) if isinstance(v, float) else v
                           for k, v in m3.items()}
