@@ -153,11 +153,14 @@ def orchestrate() -> int:
     if remaining() > 1500:
         # on-chip stream-vs-offline fidelity (VERDICT r3 item 3): cheap at
         # 0.1B (~4 min warm), carried in the artifact when budget allows
-        f_timeout = min(600, remaining() - 900)
+        f_timeout = min(720, remaining() - 900)
         log(f"bench: fidelity compare 0.1b-q8_0 (timeout {f_timeout:.0f}s) ...")
+        f_env = dict(os.environ, MIOTTS_BENCH_MODEL="0.1b-q8_0")
+        # 3 configs x ~5 s streams keeps the pass inside its cap (the
+        # r4 queue's 128-token 2-config runs took ~10-13 min wall)
+        f_env.setdefault("MIOTTS_BENCH_TOKENS", "96")
         fid = _run_sub([sys.executable, "benchmarks/bench_compare.py"],
-                       dict(os.environ, MIOTTS_BENCH_MODEL="0.1b-q8_0"),
-                       f_timeout, "fidelity")
+                       f_env, f_timeout, "fidelity")
 
     single = None
     if remaining() > 240:
