@@ -129,16 +129,32 @@ def main() -> int:
         rs = sorted(results, key=lambda r: r[2])
         return rs[len(rs) // 2]
 
-    # retry-on-low (VERDICT r3 item 7): when the median lands below a known
-    # internal reference for this config (MIOTTS_BENCH_MIN_AGG, set by the
-    # orchestrator for the flagship), the run likely caught a bad relay
-    # window — take up to `reps` extra reps and re-take the median so the
-    # artifact reflects steady state, with every rep kept in agg_all.
+    # retry-on-low (VERDICT r3 item 7, re-gated per ADVICE r4): when the
+    # median lands below a known internal reference for this config
+    # (MIOTTS_BENCH_MIN_AGG, set by the orchestrator for the flagship), the
+    # run MAY have caught a bad relay window.  A value-gated retry alone
+    # resamples away only low-tail variance and biases the headline upward,
+    # so retries additionally require the re-probed LINK to actually be
+    # degraded (< MIOTTS_BENCH_DMA_FLOOR MB/s; healthy ~66): a low median
+    # on a healthy link is a real result and is kept.  The pre-retry
+    # unconditioned median always ships in the artifact
+    # (agg_median_initial), with every rep in agg_all.
+    med_initial = median()[2]
     min_agg = float(os.environ.get("MIOTTS_BENCH_MIN_AGG", "0"))
+    dma_floor = float(os.environ.get("MIOTTS_BENCH_DMA_FLOOR", "55"))
+    dma_all = [round(dma, 1)]
     extra = 0
     while min_agg > 0 and median()[2] < min_agg and extra < reps:
+        d = dma_probe()
+        dma_all.append(round(d, 1))
+        if d >= dma_floor:
+            print(f"bench_batch: median {median()[2]:.1f}x < {min_agg:.1f}x "
+                  f"but link healthy ({d:.1f} MB/s >= {dma_floor:.0f}) — "
+                  f"keeping the measured result", file=sys.stderr, flush=True)
+            break
         print(f"bench_batch: median {median()[2]:.1f}x < {min_agg:.1f}x "
-              f"reference — extra rep {extra + 1}", file=sys.stderr, flush=True)
+              f"reference on a degraded link ({d:.1f} MB/s) — extra rep "
+              f"{extra + 1}", file=sys.stderr, flush=True)
         results.append(run_once(f"retry{extra}"))
         extra += 1
 
@@ -153,8 +169,10 @@ def main() -> int:
         "ttfa_p50_sec": round(ttfa_med, 4),
         "reps": len(results),
         "agg_all": [round(r[2], 2) for r in results],
+        "agg_median_initial": round(med_initial, 4),
         "ttfa_all": [round(r[4], 3) for r in results],
         "dma_MBps": round(dma, 1),
+        "dma_all": dma_all,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }))
     return 0

@@ -77,16 +77,33 @@ def show(tag: str, m: dict) -> None:
 
 def main() -> int:
     max_tokens = int(os.environ.get("MIOTTS_BENCH_TOKENS", "128"))
-    from bench import ensure_models
-    llm_path, codec_path, emb_path = ensure_models()
+    # Real-checkpoint mode (day-1 battery, VERDICT r4 item 8b): explicit
+    # model paths override the synthetic bench models, so the serve-config
+    # rmse (receptive-field-dominated on random weights) is remeasured on
+    # trained weights the moment they are reachable.
+    if os.environ.get("MIOTTS_COMPARE_LLM"):
+        llm_path = os.environ["MIOTTS_COMPARE_LLM"]
+        codec_path = os.environ["MIOTTS_COMPARE_CODEC"]
+        emb_path = os.environ["MIOTTS_COMPARE_EMB"]
+    else:
+        from bench import ensure_models
+        llm_path, codec_path, emb_path = ensure_models()
 
     from miotts_tpu.runtime.batching import ContinuousBatcher
     from miotts_tpu.runtime.engine import (EngineConfig, Options, TTSEngine,
                                            VoiceModel)
 
+    # Holdback sweep knob (VERDICT r4 item 4): raise the serve-path commit
+    # holdback past the codec's ~192-code receptive field (6 stacked
+    # window-65 attentions) to test the receptive-field attribution of the
+    # serve-config rmse — if right, serve-rmse collapses to the wire bound
+    # once holdback clears the field.  Codes are seed-determined and
+    # holdback-independent, so sweep points compare the same utterance.
+    holdback = int(os.environ.get("MIOTTS_HOLDBACK", "32"))
     engine = TTSEngine(EngineConfig(
         model_path=llm_path, codec_path=codec_path,
-        max_tokens=max_tokens, temperature=0.8, seed=42))
+        max_tokens=max_tokens, temperature=0.8, seed=42,
+        holdback_codes=holdback))
     voice = VoiceModel(emb_path)
     t0 = time.perf_counter()
     engine.warmup(max_codes=max_tokens, prompt_len=80)
@@ -94,7 +111,8 @@ def main() -> int:
           file=sys.stderr, flush=True)
 
     result = {"metric": "compare.rmse", "unit": "abs_sample_err",
-              "model": os.environ.get("MIOTTS_BENCH_MODEL", "0.1b-q8_0")}
+              "model": os.environ.get("MIOTTS_BENCH_MODEL", "0.1b-q8_0"),
+              "holdback": holdback}
 
     # --- float: the reference's single-stream contract -------------------
     text = "fidelity comparison utterance for the streaming pipeline"

@@ -1,0 +1,83 @@
+#!/usr/bin/env bash
+# Round-5 measurement queue, phase 2 (run AFTER matrix_r5.sh):
+# VERDICT r4 items 1 (spec end-to-end at controlled acceptance),
+# 2 (batched-attention attribution at serving shapes) and 5 (M=1-vs-M8
+# GEMV unification ABAB).  Resumable; ONE TPU process at a time.
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-benchmarks/matrix_r5}"
+mkdir -p "$OUT"
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+
+. benchmarks/run_matrix_lib.sh
+
+# 1) SPEC DECODING END-TO-END (VERDICT r4 item 1): the FULL streaming
+#    engine through the spec path at forced Bernoulli acceptance
+#    (MIOTTS_SPEC_FORCE_ACCEPT — perf-only override in spec_accept).
+#    The r4 round-time arithmetic claims 469 tok/s @2.6B k=6 a=0.7 and
+#    >=10x realtime for any a >= ~0.55; these record where the engine
+#    actually lands with host glue, buffers and stop checks included.
+for P in 0.9 0.7 0.5; do
+  run spec_e2e_2.6b_p${P} MIOTTS_BENCH_MODEL=2.6b-q4_k \
+      MIOTTS_BENCH_DRAFT=0.1b-q8_0 MIOTTS_SPEC_K=6 \
+      MIOTTS_SPEC_FORCE_ACCEPT=$P -- python bench.py
+done
+# unforced baseline (synthetic acceptance ~0: spec's worst case) + plain
+run spec_e2e_2.6b_real MIOTTS_BENCH_MODEL=2.6b-q4_k \
+    MIOTTS_BENCH_DRAFT=0.1b-q8_0 MIOTTS_SPEC_K=6 -- python bench.py
+run spec_e2e_1.7b_p0.7 MIOTTS_BENCH_MODEL=1.7b-q6_k \
+    MIOTTS_BENCH_DRAFT=0.1b-q8_0 MIOTTS_SPEC_K=6 \
+    MIOTTS_SPEC_FORCE_ACCEPT=0.7 -- python bench.py
+
+# 2) batched-attention attribution at the SERVING shape (VERDICT r4
+#    item 2): per-layer marginals for xla/serve-path/kernel variants.
+#    The r4 surgery says 16.5 ms/step @B=128/ctx256; cache-only
+#    microbenches imply ~3-4 ms — locate the delta before kernel work.
+run attn_128_r5 MIOTTS_DUMMY=0 -- python benchmarks/bench_attn.py 128 256
+run attn_96_r5 MIOTTS_DUMMY=0 -- python benchmarks/bench_attn.py 96 256
+run attn_64_r5 MIOTTS_DUMMY=0 -- python benchmarks/bench_attn.py 64 256
+
+# 2b) the REAL serving chunk under the round-5 attention levers, A/B'd
+#     against the r4 baselines in the SAME session (r4: 7.50/10.97 ms per
+#     step at B=64/96 bf16, 7.08/10.21/12.27 int8-KV):
+#     nocat  = no-concatenate flash-merge softmax (XLA restructuring)
+#     bkern  = batch-tiled Pallas kernel + flash merge (cache in-kernel)
+run chunk_base_r5 MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
+    python benchmarks/bench_chunk.py 512 256
+run chunk_nocat_r5 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_ATTN_NOCAT=1 -- \
+    python benchmarks/bench_chunk.py 512 256
+run chunk_bkern_r5 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_ATTN_BKERNEL=1 -- \
+    python benchmarks/bench_chunk.py 512 256
+run chunk_qkv_r5 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_BENCH_QKV=1 -- \
+    python benchmarks/bench_chunk.py 512 256
+run chunk_bkern_qkv_r5 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_ATTN_BKERNEL=1 \
+    MIOTTS_BENCH_QKV=1 -- python benchmarks/bench_chunk.py 512 256
+run chunk_nocat_qkv_r5 MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_ATTN_NOCAT=1 \
+    MIOTTS_BENCH_QKV=1 -- python benchmarks/bench_chunk.py 512 256
+
+# 3) M=1 GEMV through the 8-row M-tile (VERDICT r4 item 5): ABAB on the
+#    trusted scan-internal decode marginal.  <= +2% => default flip
+#    (path-independent logits; TPU spec greedy parity becomes assertable).
+run decode_m8_base_a MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
+    python benchmarks/bench_decode.py 16 64 256
+run decode_m8_a MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_GEMV_M8=1 -- \
+    python benchmarks/bench_decode.py 16 64 256
+run decode_m8_base_b MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
+    python benchmarks/bench_decode.py 16 64 256
+run decode_m8_b MIOTTS_BENCH_MODEL=2.6b-q4_k MIOTTS_GEMV_M8=1 -- \
+    python benchmarks/bench_decode.py 16 64 256
+
+# 4) greedy spec-vs-plain parity ON TPU, with and without the M8 tile.
+#    SELF-draft at greedy makes the acceptance rate a direct measure of
+#    M=1-vs-M=k+1 path agreement (r4 measured 0.86 on TPU; CPU/bf16
+#    measures 0.85 — attention-shape numerics flip near-ties on random
+#    weights too, so the M8 question is how much of the gap is the
+#    M=1 GEMV's bf16-precision dot vs irreducible shape-dependent
+#    rounding; random synthetic weights are the near-tie-dense worst case)
+run spec_parity_base MIOTTS_BENCH_MODEL=0.4b-q4_k \
+    MIOTTS_BENCH_DRAFT=0.4b-q4_k -- python benchmarks/check_spec_parity.py 96
+run spec_parity_m8 MIOTTS_BENCH_MODEL=0.4b-q4_k \
+    MIOTTS_BENCH_DRAFT=0.4b-q4_k MIOTTS_GEMV_M8=1 -- \
+    python benchmarks/check_spec_parity.py 96
+
+echo "phase2 done -> $OUT"

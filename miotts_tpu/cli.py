@@ -38,6 +38,14 @@ def _add_model_args(p: argparse.ArgumentParser, need_model=True):
     p.add_argument("--spec-tokens", type=int, default=6,
                    help="draft tokens per speculative round (with "
                         "--draft-model)")
+    p.add_argument("--holdback-codes", type=int, default=32,
+                   help="streaming commit holdback: codes of right context "
+                        "held back from every mid-stream emission (the "
+                        "reference's fixed 32, test-to-speech.cpp:513-515). "
+                        "Raising it trades time-to-first-audio for stream-"
+                        "vs-offline fidelity: the codec's receptive field "
+                        "is ~6x32 codes, so larger holdbacks give mid-"
+                        "stream emissions more settled context")
 
 
 def _make_engine(args):
@@ -46,7 +54,8 @@ def _make_engine(args):
         model_path=args.model, codec_path=args.codec,
         temperature=args.temp, max_tokens=args.max_tokens, seed=args.seed,
         draft_model_path=getattr(args, "draft_model", ""),
-        spec_tokens=getattr(args, "spec_tokens", 6)))
+        spec_tokens=getattr(args, "spec_tokens", 6),
+        holdback_codes=getattr(args, "holdback_codes", 32)))
 
 
 def _make_options(args):

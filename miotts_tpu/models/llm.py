@@ -24,6 +24,7 @@ TPU-first design (SURVEY.md §7.4):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any
@@ -390,7 +391,9 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
     (they are W columns — tiny) and are quantized once at the per-chunk
     merge.
     """
-    from ..ops.decode_attn import decode_attention, decode_attention_supported
+    from ..ops.decode_attn import (decode_attention,
+                                   decode_attention_batched_supported,
+                                   decode_attention_supported)
 
     B, S_q, H, D = q.shape
     H_kv, S_max = k_cache.shape[1], k_cache.shape[2]
@@ -402,6 +405,11 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
                                k_scale, v_scale)
         return out.reshape(B, S_q, H * D).astype(
             jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16)
+
+    if S_q == 1 and decode_attention_batched_supported(B, S_max):
+        return _attend_bkernel(q, k_cache, v_cache, fill, q_pos, k_scale,
+                               v_scale, k_cur, v_cur, k_buf, v_buf,
+                               buf_valid)
 
     # XLA path.  The group scales factor out of both dots, so an int8
     # cache is never dequantized at [S, D] shape: they multiply the score
@@ -421,17 +429,58 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
             (key_pos[None, None, :] < fill[:, None, None])
     scores = jnp.where(valid[:, None, None, :, :], scores, -1e9)
     W = 0
+    s_buf = s_cur = None
     if k_buf is not None:
         # chunk buffer: W extra columns, masked by per-slot step validity
         W = k_buf.shape[2]
         s_buf = jnp.einsum("bqgrd,bgwd->bgrqw", qg, k_buf.astype(cdt),
                            preferred_element_type=jnp.float32) / np.sqrt(D)
         s_buf = jnp.where(buf_valid[:, None, None, None, :], s_buf, -1e9)
-        scores = jnp.concatenate([scores, s_buf], axis=-1)
     if k_cur is not None:
         # current token: one extra column, always valid (self-attention)
         s_cur = jnp.einsum("bqgrd,bqgd->bgrq", qg, k_cur.astype(cdt),
                            preferred_element_type=jnp.float32) / np.sqrt(D)
+    if os.environ.get("MIOTTS_ATTN_NOCAT") and (s_buf is not None
+                                                or s_cur is not None):
+        # No-concatenate merge (round 5, VERDICT r4 item 2 candidate): the
+        # concat pads the softmax lane axis (S + W + 1, e.g. 277 -> 384
+        # lanes) and can force the score tensor to materialize between the
+        # QK and PV einsums; merging the three score sources flash-style
+        # (shared max, exp, one normalizer) keeps every piece at its
+        # natural width.  Bit-for-bit it is the same softmax up to
+        # reduction order.  Opt-in (trace-time env) while TPU-measured.
+        m = jnp.max(scores, axis=-1)
+        if s_buf is not None:
+            m = jnp.maximum(m, jnp.max(s_buf, axis=-1))
+        if s_cur is not None:
+            m = jnp.maximum(m, s_cur)
+        p_main = jnp.exp(scores - m[..., None])
+        l = jnp.sum(p_main, axis=-1)
+        p_buf = p_cur = None
+        if s_buf is not None:
+            p_buf = jnp.exp(s_buf - m[..., None])
+            l = l + jnp.sum(p_buf, axis=-1)
+        if s_cur is not None:
+            p_cur = jnp.exp(s_cur - m)
+            l = l + p_cur
+        if v_scale is not None:
+            p_main = p_main * v_scale[:, :, None, None, :]
+        out = jnp.einsum("bgrqk,bgkd->bqgrd", p_main.astype(cdt), vf,
+                         preferred_element_type=jnp.float32)
+        if p_buf is not None:
+            out = out + jnp.einsum("bgrqw,bgwd->bqgrd", p_buf.astype(cdt),
+                                   v_buf.astype(cdt),
+                                   preferred_element_type=jnp.float32)
+        if p_cur is not None:
+            out = out + jnp.einsum("bgrq,bqgd->bqgrd", p_cur.astype(cdt),
+                                   v_cur.astype(cdt),
+                                   preferred_element_type=jnp.float32)
+        # l [B, g, r, q] -> [B, q, g, r, 1] to normalize the merged sum
+        out = out / jnp.transpose(l, (0, 3, 1, 2))[..., None]
+        return out.reshape(B, S_q, H * D).astype(cdt)
+    if s_buf is not None:
+        scores = jnp.concatenate([scores, s_buf], axis=-1)
+    if s_cur is not None:
         scores = jnp.concatenate([scores, s_cur[..., None]], axis=-1)
     probs = jax.nn.softmax(scores, axis=-1)  # [B, g, r, q, k(+W)(+1)]
     if k_cur is not None:
@@ -453,6 +502,70 @@ def _attend(q, k_cache, v_cache, fill, q_pos, k_scale=None, v_scale=None,
         out = out + jnp.einsum("bgrq,bqgd->bqgrd", p_cur.astype(cdt),
                                v_cur.astype(cdt),
                                preferred_element_type=jnp.float32)
+    return out.reshape(B, S_q, H * D).astype(cdt)
+
+
+def _attend_bkernel(q, k_cache, v_cache, fill, q_pos, k_scale=None,
+                    v_scale=None, k_cur=None, v_cur=None, k_buf=None,
+                    v_buf=None, buf_valid=None, interpret: bool = False):
+    """Serve-path attention through the batch-tiled Pallas kernel
+    (ops/decode_attn.py decode_attention_batched, round 5 — the VERDICT r4
+    item-2 lever): the BIG cache read runs in-kernel (int8 bytes feed the
+    MXU directly when the cache is quantized); the chunk buffer and
+    current-token columns — tiny — are scored in XLA and folded into the
+    same softmax flash-style from the kernel's (acc, m, l) stats.
+    Numerically the same softmax up to reduction order, except the int8
+    path's documented ~1%-of-row-scale probability quantization.  Opt-in
+    via MIOTTS_ATTN_BKERNEL=1 (gate: decode_attention_batched_supported).
+    """
+    from ..ops.decode_attn import decode_attention_batched
+
+    B, S_q, H, D = q.shape
+    H_kv, S_max = k_cache.shape[1], k_cache.shape[2]
+    rep = H // H_kv
+    cdt = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+
+    acc, m, l = decode_attention_batched(
+        q[:, 0], k_cache, v_cache, fill, q_pos[:, 0], k_scale, v_scale,
+        b_tile=int(os.environ.get("MIOTTS_ATTN_BTILE", "8")),
+        return_stats=True, interpret=interpret)
+    # [B, H, *] -> [B, g, r, *]
+    acc = acc.reshape(B, H_kv, rep, D)
+    m = m.reshape(B, H_kv, rep)
+    l = l.reshape(B, H_kv, rep)
+
+    qg = q.astype(cdt).reshape(B, S_q, H_kv, rep, D)
+    s_buf = s_cur = None
+    if k_buf is not None:
+        s_buf = jnp.einsum("bqgrd,bgwd->bgrqw", qg, k_buf.astype(cdt),
+                           preferred_element_type=jnp.float32)[:, :, :, 0]
+        s_buf = s_buf / np.sqrt(D)                         # [B, g, r, W]
+        s_buf = jnp.where(buf_valid[:, None, None, :], s_buf, -1e9)
+    if k_cur is not None:
+        s_cur = jnp.einsum("bqgrd,bqgd->bgrq", qg, k_cur.astype(cdt),
+                           preferred_element_type=jnp.float32)[..., 0]
+        s_cur = s_cur / np.sqrt(D)                         # [B, g, r]
+
+    m_all = m
+    if s_buf is not None:
+        m_all = jnp.maximum(m_all, jnp.max(s_buf, axis=-1))
+    if s_cur is not None:
+        m_all = jnp.maximum(m_all, s_cur)
+    alpha = jnp.exp(m - m_all)                             # [B, g, r]
+    out = acc * alpha[..., None]
+    l_all = l * alpha
+    if s_buf is not None:
+        p_buf = jnp.exp(s_buf - m_all[..., None])          # [B, g, r, W]
+        l_all = l_all + jnp.sum(p_buf, axis=-1)
+        out = out + jnp.einsum("bgrw,bgwd->bgrd", p_buf.astype(cdt),
+                               v_buf.astype(cdt),
+                               preferred_element_type=jnp.float32)
+    if s_cur is not None:
+        p_cur = jnp.exp(s_cur - m_all)                     # [B, g, r]
+        l_all = l_all + p_cur
+        out = out + p_cur[..., None] * v_cur[:, 0, :, None, :].astype(
+            jnp.float32)
+    out = out / jnp.maximum(l_all, 1e-20)[..., None]
     return out.reshape(B, S_q, H * D).astype(cdt)
 
 
@@ -1102,11 +1215,22 @@ def spec_accept(key: jax.Array, draft_tokens: jax.Array,
     p_t = _spec_probs(target_logits[:k], temperature)        # [k, V]
     p_d = _spec_probs(draft_logits, temperature)             # [k, V]
     k_u, k_r = jax.random.split(key)
-    u = jax.random.uniform(k_u, (k,))
+    u = jnp.asarray(jax.random.uniform(k_u, (k,)))
     idx = jnp.arange(k)
     ratio = p_t[idx, draft_tokens] / jnp.maximum(p_d[idx, draft_tokens],
                                                  1e-30)
-    accept = u < ratio                                       # min(1,.) implicit
+    # PERF-HARNESS OVERRIDE (measurement only, VERDICT r4 item 1): with
+    # MIOTTS_SPEC_FORCE_ACCEPT=p set, the accept test becomes a seeded
+    # Bernoulli(p) draw INDEPENDENT of the logits, so the full streaming
+    # engine can be timed at a controlled acceptance rate on synthetic
+    # weights (whose real draft/target agreement is ~0 by construction).
+    # Output tokens are then NOT target-distributed — never set outside a
+    # bench.  Trace-time static: read once per jit trace.
+    force_p = os.environ.get("MIOTTS_SPEC_FORCE_ACCEPT", "")
+    if force_p:
+        accept = u < jnp.float32(float(force_p))
+    else:
+        accept = u < ratio                                   # min(1,.) implicit
     n_accept = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))
     j = jnp.minimum(n_accept, k - 1)
     residual = jnp.maximum(p_t[j] - p_d[j], 0.0)

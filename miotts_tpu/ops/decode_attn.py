@@ -178,6 +178,207 @@ def decode_attention(q, k_cache, v_cache, fill, q_pos,
     return out.reshape(B, H, D)
 
 
+def _batched_kernel(fill_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
+                    acc_ref, m_ref, l_ref, *, s_tile, n_s_tiles, b_tile,
+                    scale, h_kv, rep, int8_mxu,
+                    qs_ref=None, ks_ref=None, vs_ref=None):
+    """Batch-tiled decode attention (round 5, VERDICT r4 item 2).
+
+    The round-1 kernel's grid is one batch row per cell; at serving B=128
+    that is 128 cells of per-cell fixed cost, which is where it lost to
+    XLA.  Here a cell covers B_T rows: grid (B // B_T, S_tiles), blocks
+    q [B_T, H_kv, rep, D], k/v [B_T, H_kv, S_t, D], scales
+    [B_T, H_kv, 1, S_t].  Masked flash updates replace pl.when so each
+    row's own `limit` gates contributions without per-row predication.
+
+    int8_mxu mode: the cache bytes go from HBM to the MXU as INTEGERS
+    (the w8a8 lesson, ops/qmat.py: per-element int->float conversion on
+    the VPU was the 228 us/layer pole of the round-1 int8 kernel).  The
+    query is pre-quantized per row OUTSIDE (int8 x int8 -> int32 scores
+    dot); for the PV dot the probabilities absorb the v scales, then
+    quantize to int8 IN-kernel via the f32->i32->i8 two-step (Mosaic has
+    no 8-bit arithmetic but converts through i32 fine — the packed-w8a8
+    precedent).  Accuracy: ~1% of row scale from the 8-bit probability
+    quantization — a measurement variant, not a parity path.
+    """
+    nb = pl.program_id(0)
+    s_idx = pl.program_id(1)
+    if isinstance(o_ref, (tuple, list)):
+        o_ref, om_ref, ol_ref = o_ref       # stats mode (flash merge)
+    else:
+        om_ref = ol_ref = None
+
+    @pl.when(s_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    kpos = s_idx * s_tile + jax.lax.broadcasted_iota(
+        jnp.int32, (1, s_tile), 1)
+    for i in range(b_tile):
+        b = nb * b_tile + i
+        limit = jnp.minimum(fill_ref[b], qpos_ref[b] + 1)
+        mask = kpos < limit                                     # [1, S_t]
+        for g in range(h_kv):
+            if int8_mxu:
+                d = jax.lax.dot_general(
+                    q_ref[i, g], k_ref[i, g], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)           # [rep, S_t]
+                scores = (d.astype(jnp.float32)
+                          * (qs_ref[i, g].astype(jnp.float32) * scale)
+                          * ks_ref[i, g].astype(jnp.float32))
+            else:
+                qv = q_ref[i, g]                                # [rep, D]
+                scores = jax.lax.dot_general(
+                    qv, k_ref[i, g], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(mask, scores, _NEG)
+
+            m_prev = m_ref[i, g]                                # [rep, 1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(scores, axis=-1, keepdims=True))
+            # masked-out columns MUST be zeroed explicitly: on an all-
+            # masked tile m_new stays _NEG and exp(scores - m_new) = 1
+            p = jnp.where(mask, jnp.exp(scores - m_new), 0.0)   # [rep, S_t]
+            alpha = jnp.exp(m_prev - m_new)                     # [rep, 1]
+            l_ref[i, g] = l_ref[i, g] * alpha \
+                + jnp.sum(p, axis=-1, keepdims=True)
+            if int8_mxu:
+                ps = p * vs_ref[i, g].astype(jnp.float32)       # [rep, S_t]
+                psc = jnp.maximum(jnp.max(ps, axis=-1, keepdims=True),
+                                  1e-20) / 127.0                # [rep, 1]
+                p_i8 = (ps / psc + 0.5).astype(jnp.int32).astype(jnp.int8)
+                d2 = jax.lax.dot_general(
+                    p_i8, v_ref[i, g], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)           # [rep, D]
+                pv = d2.astype(jnp.float32) * psc
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(v_ref.dtype), v_ref[i, g],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc_ref[i, g] = acc_ref[i, g] * alpha + pv
+            m_ref[i, g] = m_new
+
+    @pl.when(s_idx == n_s_tiles - 1)
+    def _():
+        if om_ref is None:
+            o_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-20)
+                        ).astype(o_ref.dtype)
+        else:
+            # flash-merge mode: the caller folds more score sources
+            # (chunk buffer, current token) into the same softmax
+            o_ref[:] = acc_ref[:]
+            om_ref[:] = m_ref[:]
+            ol_ref[:] = l_ref[:]
+
+
+@partial(jax.jit, static_argnames=("b_tile", "interpret", "return_stats"))
+def decode_attention_batched(q, k_cache, v_cache, fill, q_pos,
+                             k_scale=None, v_scale=None, b_tile: int = 8,
+                             interpret: bool = False,
+                             return_stats: bool = False):
+    """Batch-tiled single-position attention (see _batched_kernel).
+
+    q [B, H, D] (f32/bf16); k/v_cache [B, H_kv, S, D] bf16/f32 or int8
+    (int8 REQUIRES k_scale/v_scale [B, H_kv, S] and engages the int8-MXU
+    path); fill/q_pos [B] i32.  Returns [B, H, D] f32.  B % b_tile == 0.
+    """
+    B, H, D = q.shape
+    _, H_kv, S, _ = k_cache.shape
+    rep = H // H_kv
+    assert B % b_tile == 0, (B, b_tile)
+    int8_mxu = k_cache.dtype == jnp.int8
+    s_tile = S if S <= 512 else 512
+    assert S % s_tile == 0
+    n_s = S // s_tile
+    n_b = B // b_tile
+
+    if int8_mxu:
+        # pre-quantize the query per (b, h) row outside the kernel (tiny)
+        qf = q.astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                         1e-20) / 127.0                     # [B, H, 1]
+        qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+        qg = qq.reshape(B, H_kv, rep, D)
+        qsg = qs.reshape(B, H_kv, rep, 1)
+    else:
+        cdt = jnp.float32 if interpret else jnp.bfloat16
+        qg = q.astype(cdt).reshape(B, H_kv, rep, D)
+        if interpret and k_cache.dtype != jnp.float32:
+            k_cache = k_cache.astype(jnp.float32)
+            v_cache = v_cache.astype(jnp.float32)
+
+    grid = (n_b, n_s)
+    in_specs = [
+        pl.BlockSpec((b_tile, H_kv, rep, D), lambda nb, s, *_: (nb, 0, 0, 0)),
+        pl.BlockSpec((b_tile, H_kv, s_tile, D), lambda nb, s, *_: (nb, 0, s, 0)),
+        pl.BlockSpec((b_tile, H_kv, s_tile, D), lambda nb, s, *_: (nb, 0, s, 0)),
+    ]
+    args = [qg, k_cache, v_cache]
+    n_out = 3 if return_stats else 1
+    body = partial(_batched_kernel, s_tile=s_tile, n_s_tiles=n_s,
+                   b_tile=b_tile, scale=1.0 / np.sqrt(D), h_kv=H_kv,
+                   rep=rep, int8_mxu=int8_mxu)
+
+    def kern(fill_ref, qpos_ref, q_ref, k_ref, v_ref, *rest):
+        o = rest[:n_out] if return_stats else rest[0]
+        return body(fill_ref, qpos_ref, q_ref, k_ref, v_ref, o,
+                    *rest[n_out:])
+
+    if int8_mxu:
+        # scales ride as [B, H_kv, 1, S] so a [1, S_t] in-kernel slice
+        # broadcasts across score rows without a transpose
+        in_specs.insert(0, pl.BlockSpec((b_tile, H_kv, rep, 1),
+                                        lambda nb, s, *_: (nb, 0, 0, 0)))
+        in_specs += [
+            pl.BlockSpec((b_tile, H_kv, 1, s_tile),
+                         lambda nb, s, *_: (nb, 0, 0, s)),
+            pl.BlockSpec((b_tile, H_kv, 1, s_tile),
+                         lambda nb, s, *_: (nb, 0, 0, s)),
+        ]
+        args = [qsg, qg, k_cache, v_cache,
+                k_scale[:, :, None, :], v_scale[:, :, None, :]]
+
+        def kern(fill_ref, qpos_ref, qs_ref, q_ref, k_ref, v_ref, ks_ref,
+                 vs_ref, *rest):
+            o = rest[:n_out] if return_stats else rest[0]
+            return body(fill_ref, qpos_ref, q_ref, k_ref, v_ref, o,
+                        *rest[n_out:], qs_ref=qs_ref, ks_ref=ks_ref,
+                        vs_ref=vs_ref)
+
+    out_specs = pl.BlockSpec((b_tile, H_kv, rep, D),
+                             lambda nb, s, *_: (nb, 0, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, H_kv, rep, D), jnp.float32)
+    if return_stats:
+        stat_spec = pl.BlockSpec((b_tile, H_kv, rep, 1),
+                                 lambda nb, s, *_: (nb, 0, 0, 0))
+        stat_shape = jax.ShapeDtypeStruct((B, H_kv, rep, 1), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((b_tile, H_kv, rep, D), jnp.float32),
+                pltpu.VMEM((b_tile, H_kv, rep, 1), jnp.float32),
+                pltpu.VMEM((b_tile, H_kv, rep, 1), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(fill.astype(jnp.int32), q_pos.astype(jnp.int32), *args)
+    if return_stats:
+        acc, m, l = out
+        return (acc.reshape(B, H, D), m.reshape(B, H), l.reshape(B, H))
+    return out.reshape(B, H, D)
+
+
 def _dma_floor(q, k_cache, v_cache):
     """Microbenchmark helper: fetch the same k/v blocks as the real kernel
     but do (almost) no math — measures the per-cell fixed cost + DMA floor
@@ -211,6 +412,25 @@ def _dma_floor(q, k_cache, v_cache):
         scratch_shapes=[pltpu.VMEM((H_kv, 8, D), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((B, H_kv, 8, D), jnp.float32),
     )(k_cache, v_cache)
+
+
+def decode_attention_batched_supported(batch: int, s_len: int) -> bool:
+    """Static gate for the round-5 batch-tiled kernel in `_attend`'s
+    serve path (S_q == 1, chunk buffer / current column handled by the
+    flash merge in models/llm.py:_attend_bkernel).  Opt-in while being
+    TPU-measured: MIOTTS_ATTN_BKERNEL=1."""
+    import os
+    if not os.environ.get("MIOTTS_ATTN_BKERNEL") or not _PALLAS_OK:
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    if backend not in ("tpu", "axon"):
+        return False
+    b_tile = int(os.environ.get("MIOTTS_ATTN_BTILE", "8"))
+    s_tile = s_len if s_len <= 512 else 512
+    return batch % b_tile == 0 and s_len % s_tile == 0
 
 
 def decode_attention_supported(q_shape, s_len: int) -> bool:

@@ -543,6 +543,19 @@ def _use_pack4_split() -> bool:
     return os.environ.get("MIOTTS_PACK4_SPLIT", "") == "1"
 
 
+def _gemv_m8() -> bool:
+    """Run the M=1 decode GEMV through the 8-row M-tile (VERDICT r4 item 5):
+    pad the single activation row to the MXU's 8-row sublane tile.  The
+    single-row Mosaic lowering computes the f32 dot at effectively-bf16
+    precision (~1% of output scale, measured round 4); the >=8-row tile
+    gets the exact multi-pass f32 emulation — with this on, M=1 logits are
+    bit-identical to the M>=8 (prefill / spec-verify) path, making greedy
+    decode path-independent on TPU.  Overrides the w8a8/groupdot GEMV
+    variants (those are M=1-only kernels).  MIOTTS_GEMV_M8=1; decode-
+    marginal cost measured by ABAB in benchmarks/matrix_r5*."""
+    return os.environ.get("MIOTTS_GEMV_M8", "") == "1"
+
+
 def _gemv_mode() -> str:
     """Decode-GEMV (M=1) kernel selection: 'w8a8' = int8 activations x int8
     weights on the MXU (scale-after-dot), 'groupdot' = scale-after-dot with
@@ -865,8 +878,10 @@ def qdot(x: jax.Array, w) -> jax.Array:
         x2 = x.reshape(-1, x.shape[-1])
         # pad small non-multiple-of-8 M (e.g. the speculative verify's
         # M = k+1 rows) up to the sublane width; M=1 stays the GEMV path
+        # unless MIOTTS_GEMV_M8 unifies it into the 8-row M-tile (see
+        # _gemv_m8: path-independent logits at the cost of a padded tile)
         m_pad = 0
-        if 1 < x2.shape[0] and x2.shape[0] % 8:
+        if x2.shape[0] % 8 and (x2.shape[0] > 1 or _gemv_m8()):
             m_pad = 8 - x2.shape[0] % 8
             x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
         K = x2.shape[1]

@@ -817,6 +817,14 @@ class TTSEngine:
         n = len(ids)
         if n + max_tok > self.config.n_ctx:
             max_tok = max(0, self.config.n_ctx - n)
+        if self.draft_params is not None:
+            # Speculative headroom at the context boundary (ADVICE r4): a
+            # spec round writes up to fill + spec_tokens + 1 cache
+            # positions before rollback, but s_cache is clamped to n_ctx —
+            # without this reservation the verify's writes past S_max are
+            # silently dropped near the cap and boundary tokens degrade.
+            max_tok = max(0, min(max_tok, self.config.n_ctx - n
+                                 - (self.config.spec_tokens + 1)))
 
         bucket = _round_up(n, self.config.prompt_bucket)
         toks = np.zeros((1, bucket), np.int32)

@@ -122,6 +122,41 @@ else
     echo; echo "(no MioTTS-*.gguf found — LLM steps skipped)"
 fi
 
+step "8. K-quant byte decoders on real tensor bytes (r4 fixtures -> real)"
+python tools/check_quant_bytes.py "$CODEC" || fail=1
+if [ -n "$LLM" ]; then
+    python tools/check_quant_bytes.py "$LLM" || fail=1
+fi
+
+if [ -n "$LLM" ]; then
+    step "9. serve-config stream-vs-offline fidelity (batched path)"
+    # Synthetic-weight serve rmse (~0.6) is attributed to the codec's
+    # ~192-code receptive field exceeding the 32-code holdback; a trained
+    # codec's field decays fast, so this remeasures the claim with real
+    # weights (expect collapse toward the wire bound; the holdback knob
+    # MIOTTS_HOLDBACK sweeps the crossover if it does not).
+    MIOTTS_COMPARE_LLM="$LLM" MIOTTS_COMPARE_CODEC="$CODEC" \
+        MIOTTS_COMPARE_EMB="$VOICE" MIOTTS_BENCH_TOKENS=256 \
+        python benchmarks/bench_compare.py || fail=1
+
+    # 10. REAL speculative acceptance + achieved spec throughput for every
+    # draft/target pairing present (synthetic weights measure acceptance
+    # ~0 by construction — THIS is the number the 2-3x single-stream
+    # claim hangs on; benchmarks/RESULTS.md r4 spec tables map acceptance
+    # -> tok/s).  cli bench prints stream_bench.spec_accept_rate and the
+    # decode rate through the full streaming engine.
+    DRAFT=$(ls "$MODELS"/MioTTS-0.1B-*.gguf 2>/dev/null | head -1)
+    if [ -n "$DRAFT" ]; then
+        for TARGET in $(ls "$MODELS"/MioTTS-*.gguf | grep -v "0\.1B"); do
+            step "10. real draft acceptance: 0.1B -> $(basename "$TARGET")"
+            python -m miotts_tpu.cli bench -m "$TARGET" -c "$CODEC" \
+                -v "$VOICE" --draft-model "$DRAFT" --spec-tokens 6 \
+                -p "ドラフト検証のための音声合成ベンチマークです。" \
+                --max-tokens 256 --seed 42 || fail=1
+        done
+    fi
+fi
+
 echo
 if [ "$fail" = 0 ]; then
     echo "parity battery PASSED — artifacts in $OUT/"

@@ -387,6 +387,59 @@ def test_i16_transfer_close_to_float(tmp_path_factory):
             assert np.abs(a - b).max() <= 1.01 / 32767.0
 
 
+def test_codec_on_second_device_sample_exact(tmp_path_factory):
+    """Two-device codec/LLM pipelining (VERDICT r4 item 7): with
+    `codec_device` pointing at a SECOND device, the batcher's codec decodes
+    run there while the LLM chunks on the default device — the saturation
+    analysis' second-chip lever.  Emitted audio must be sample-exact vs
+    the same-device batcher, and the codec params must actually live on
+    the other device."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices (conftest provides 8 virtual)")
+    d = tmp_path_factory.mktemp("pipedev")
+    codec_path = str(d / "codec.gguf")
+    llm_path = str(d / "llm.gguf")
+    codec_cfg = write_synthetic_codec(codec_path, n_codes=64, seed=3)
+    write_synthetic_llm(llm_path, seed=5, n_speech=64)
+    emb_path = str(d / "voice.emb.gguf")
+    rng = np.random.default_rng(11)
+    write_voice_embedding(emb_path,
+                          rng.standard_normal(codec_cfg.adaln_dim) * 0.3)
+    voice = VoiceModel(emb_path)
+
+    def run(codec_device):
+        eng = TTSEngine(EngineConfig(
+            model_path=llm_path, codec_path=codec_path, max_tokens=40,
+            llm_dtype="float32", prompt_bucket=32, code_bucket=16,
+            codec_device=codec_device))
+        batcher = ContinuousBatcher(eng, n_slots=2, chunk_steps=10)
+        chunks = {i: [] for i in range(3)}
+
+        def make_cb(i):
+            def cb(samples, sr, is_last):
+                if samples is not None:
+                    chunks[i].append(np.asarray(samples))
+                return True
+            return cb
+
+        for i in range(3):
+            batcher.submit(f"pipelined utterance {i}", voice, make_cb(i),
+                           Options(max_tokens=30, temperature=1.0, seed=i))
+        batcher.run_until_done(max_iters=300)
+        assert batcher.pending == 0
+        return eng, {i: (np.concatenate(c) if c else np.zeros(0, np.float32))
+                     for i, c in chunks.items()}
+
+    eng0, base = run(-1)
+    eng1, piped = run(1)
+    leaf = jax.tree_util.tree_leaves(eng1.codec_params)[0]
+    assert leaf.devices() == {jax.devices()[1]}
+    for i in range(3):
+        assert base[i].shape == piped[i].shape
+        np.testing.assert_array_equal(base[i], piped[i])
+
+
 def test_per_request_seed_and_temperature(engine):
     """Batched serving honors per-request Options: a request's sample
     sequence is a function of its own seed (reproducible across runs and

@@ -9,7 +9,16 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest
+
 import bench
+
+
+@pytest.fixture(autouse=True)
+def healthy_link(monkeypatch):
+    """Stub the link probe (a real subprocess would touch the TPU).
+    Individual tests override for degraded-link behavior."""
+    monkeypatch.setattr(bench, "_probe_link", lambda timeout=300: 66.0)
 
 
 FLAGSHIP = {"metric": "batch_bench.aggregate_x_realtime", "value": 94.85,
@@ -80,6 +89,44 @@ def test_orchestrator_attaches_fidelity_when_budget_allows(monkeypatch,
     assert line["fidelity"]["serve_max_abs"] == 3.05e-05
     assert line["fidelity"]["wire_max_abs"] == 3.05e-05
     assert line["fidelity"]["float_rmse"] == 0.0
+
+
+def test_orchestrator_degraded_link_defers_flagship(monkeypatch, capsys):
+    """Link-health gate (VERDICT r4 item 3): on a degraded start probe the
+    single-stream pass runs FIRST and the flagship gets the later window;
+    every probe ships in the artifact."""
+    monkeypatch.setattr(bench, "_probe_link", lambda timeout=300: 30.0)
+    calls = []
+
+    def fake(cmd, env, timeout, tag):
+        calls.append(tag)
+        return {"flagship": FLAGSHIP, "single": SINGLE,
+                "fidelity": FIDELITY}[tag]
+    monkeypatch.setattr(bench, "_run_sub", fake)
+    monkeypatch.setenv("MIOTTS_BENCH_BUDGET", "2800")
+    assert bench.orchestrate() == 0
+    assert calls.index("single") < calls.index("flagship")
+    line = _last_json(capsys)
+    assert line["value"] == 94.85
+    assert line["single_stream"]["x_realtime"] == 13.21
+    assert [p["when"] for p in line["link_probes"]] == ["start",
+                                                        "pre-flagship"]
+    assert line["link_probes"][0]["MBps"] == 30.0
+
+
+def test_orchestrator_healthy_link_runs_flagship_first(monkeypatch, capsys):
+    calls = []
+
+    def fake(cmd, env, timeout, tag):
+        calls.append(tag)
+        return {"flagship": FLAGSHIP, "single": SINGLE,
+                "fidelity": FIDELITY}[tag]
+    monkeypatch.setattr(bench, "_run_sub", fake)
+    monkeypatch.setenv("MIOTTS_BENCH_BUDGET", "2800")
+    assert bench.orchestrate() == 0
+    assert calls[0] == "flagship"
+    line = _last_json(capsys)
+    assert line["link_probes"][0]["MBps"] == 66.0
 
 
 def test_orchestrator_skips_single_when_budget_spent(monkeypatch, capsys):

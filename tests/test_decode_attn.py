@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from miotts_tpu.models.llm import _attend, _kv_quantize
-from miotts_tpu.ops.decode_attn import decode_attention
+from miotts_tpu.ops.decode_attn import decode_attention, decode_attention_batched
 
 
 def _ref(q, k, v, fill, q_pos, ks=None, vs=None):
@@ -68,6 +68,122 @@ def test_kernel_qpos_below_fill():
     got = decode_attention(q, k, v, fill, q_pos, interpret=True)
     want = _ref(q, k, v, fill, q_pos)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("B,H,H_kv,D,S,bt", [
+    (8, 8, 2, 80, 512, 4),    # 2.6B-style head_dim, two S tiles
+    (16, 12, 4, 64, 256, 8),  # rep=3, serving-ish batch
+    (4, 4, 4, 64, 128, 4),    # MHA
+])
+def test_batched_kernel_matches_xla(B, H, H_kv, D, S, bt):
+    """Batch-tiled kernel (round 5): f32/bf16 cache path vs _attend, with
+    ragged per-row fills crossing tile boundaries."""
+    q, k, v, _, _ = _mk(B, H, H_kv, S, D, seed=B + D)
+    rng = np.random.default_rng(2)
+    fill = jnp.asarray(rng.integers(1, S + 1, size=B), jnp.int32)
+    q_pos = fill - 1
+    got = decode_attention_batched(q, k, v, fill, q_pos, b_tile=bt,
+                                   interpret=True)
+    want = _ref(q, k, v, fill, q_pos)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_batched_kernel_int8_mxu():
+    """int8-MXU path: integer scores dot + quantized-probability PV dot.
+    Accuracy bound is the documented ~1%-of-row-scale (8-bit probability
+    quantization) — a measurement variant, not a parity path."""
+    B, H, H_kv, D, S = 8, 8, 4, 80, 512
+    q, kq, vq, ks, vs = _mk(B, H, H_kv, S, D, seed=7, quantized=True)
+    fill = jnp.asarray([5, S, 300, 128, 1, 77, 256, 512], jnp.int32)
+    q_pos = fill - 1
+    got = decode_attention_batched(q, kq, vq, fill, q_pos, ks, vs,
+                                   b_tile=4, interpret=True)
+    want = _ref(q, kq, vq, fill, q_pos, ks, vs)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(got), want,
+                               atol=0.03 * scale, rtol=0.03)
+
+
+def test_batched_kernel_qpos_below_fill():
+    B, H, H_kv, D, S = 4, 4, 2, 64, 256
+    q, k, v, _, _ = _mk(B, H, H_kv, S, D, seed=3)
+    fill = jnp.asarray([200, 256, 64, 8], jnp.int32)
+    q_pos = jnp.asarray([100, 0, 63, 3], jnp.int32)
+    got = decode_attention_batched(q, k, v, fill, q_pos, b_tile=4,
+                                   interpret=True)
+    want = _ref(q, k, v, fill, q_pos)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_attend_nocat_matches_concat(monkeypatch):
+    """MIOTTS_ATTN_NOCAT (round 5): the flash-style merged softmax over
+    cache + chunk buffer + current column must match the concatenate-
+    softmax path to float tolerance, for both bf16-class and int8 caches."""
+    B, H, H_kv, D, S, W = 4, 8, 4, 80, 256, 20
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H_kv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H_kv, S, D)), jnp.float32)
+    k_buf = jnp.asarray(rng.standard_normal((B, H_kv, W, D)), jnp.float32)
+    v_buf = jnp.asarray(rng.standard_normal((B, H_kv, W, D)), jnp.float32)
+    buf_valid = jnp.asarray(rng.integers(0, 2, (B, W)), bool).at[:, 0].set(True)
+    k_cur = jnp.asarray(rng.standard_normal((B, 1, H_kv, D)), jnp.float32)
+    v_cur = jnp.asarray(rng.standard_normal((B, 1, H_kv, D)), jnp.float32)
+    fill = jnp.asarray([S, 100, 7, 200], jnp.int32)
+    q_pos = fill[:, None]          # [B, S_q=1], current position
+    kq, ks = _kv_quantize(k)
+    vq, vs = _kv_quantize(v)
+
+    for kk, vv, kss, vss, tol in ((k, v, None, None, 1e-6),
+                                  (kq, vq, ks, vs, 1e-6)):
+        monkeypatch.delenv("MIOTTS_ATTN_NOCAT", raising=False)
+        want = _attend(q, kk, vv, fill, q_pos, kss, vss, k_cur=k_cur,
+                       v_cur=v_cur, k_buf=k_buf, v_buf=v_buf,
+                       buf_valid=buf_valid)
+        monkeypatch.setenv("MIOTTS_ATTN_NOCAT", "1")
+        got = _attend(q, kk, vv, fill, q_pos, kss, vss, k_cur=k_cur,
+                      v_cur=v_cur, k_buf=k_buf, v_buf=v_buf,
+                      buf_valid=buf_valid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=tol, atol=tol)
+
+
+def test_attend_bkernel_serve_path_parity():
+    """_attend_bkernel (batch-tiled kernel + flash merge of chunk-buffer and
+    current-token columns) vs the XLA _attend serve path."""
+    from miotts_tpu.models.llm import _attend_bkernel
+    B, H, H_kv, D, S, W = 8, 8, 4, 80, 256, 12
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H_kv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H_kv, S, D)), jnp.float32)
+    k_buf = jnp.asarray(rng.standard_normal((B, H_kv, W, D)), jnp.float32)
+    v_buf = jnp.asarray(rng.standard_normal((B, H_kv, W, D)), jnp.float32)
+    buf_valid = jnp.asarray(rng.integers(0, 2, (B, W)), bool)
+    k_cur = jnp.asarray(rng.standard_normal((B, 1, H_kv, D)), jnp.float32)
+    v_cur = jnp.asarray(rng.standard_normal((B, 1, H_kv, D)), jnp.float32)
+    fill = jnp.asarray([S, 100, 7, 200, 0, 33, 256, 129], jnp.int32)
+    q_pos = fill[:, None]
+    kq, ks = _kv_quantize(k)
+    vq, vs = _kv_quantize(v)
+
+    for kk, vv, kss, vss, tol in ((k, v, None, None, 1e-5),
+                                  (kq, vq, ks, vs, 0.04)):
+        want = _attend(q, kk, vv, fill, q_pos, kss, vss, k_cur=k_cur,
+                       v_cur=v_cur, k_buf=k_buf, v_buf=v_buf,
+                       buf_valid=buf_valid)
+        got = _attend_bkernel(q, kk, vv, fill, q_pos, kss, vss, k_cur=k_cur,
+                              v_cur=v_cur, k_buf=k_buf, v_buf=v_buf,
+                              buf_valid=buf_valid, interpret=True)
+        scale = np.abs(np.asarray(want)).max()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=tol * scale, rtol=tol)
+    # cur-only (plain deferred-write decode, no chunk buffer)
+    want = _attend(q, k, v, fill, q_pos, k_cur=k_cur, v_cur=v_cur)
+    got = _attend_bkernel(q, k, v, fill, q_pos, k_cur=k_cur, v_cur=v_cur,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_kernel_bf16_cache():

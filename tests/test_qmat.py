@@ -124,6 +124,33 @@ def test_qdot_groupdot_env_dispatch(rng, monkeypatch):
     assert calls == ["group", "plain", "plain", "group", "plain"]
 
 
+def test_qdot_gemv_m8_pads_to_mtile(rng, monkeypatch):
+    """MIOTTS_GEMV_M8=1 (VERDICT r4 item 5) routes the M=1 GEMV through the
+    8-row M-tile: the kernel sees a padded [8, K] block (unifying M=1 and
+    M>=8 numerics on TPU), the result equals the unpadded GEMV, and the
+    M=1-only variant kernels (w8a8/groupdot) are bypassed."""
+    import miotts_tpu.ops.qmat as qm
+    seen = []
+    monkeypatch.setattr(qm, "_use_pallas", lambda: True)
+    monkeypatch.setattr(
+        qm, "_qdot_pallas",
+        lambda x, w, **kw: seen.append(x.shape) or qm._qdot_xla(x, w))
+    qt, ref = _make_qt(GGML_Q8_0, 128, 256, rng)
+    x = jnp.asarray(rng.standard_normal((1, 256)), jnp.float32)
+    base = qm.qdot(x, qt)
+    monkeypatch.setenv("MIOTTS_GEMV_M8", "1")
+    got = qm.qdot(x, qt)
+    assert seen == [(1, 256), (8, 256)]
+    assert got.shape == (1, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
+    # m8 overrides the M=1-only variant kernels
+    monkeypatch.setenv("MIOTTS_QDOT_GEMV", "w8a8")
+    monkeypatch.setattr(qm, "_qdot_w8a8_pallas",
+                        lambda x, w: seen.append("w8a8") or qm._qdot_xla(x, w))
+    got2 = qm.qdot(jnp.asarray(x, jnp.bfloat16), qt)
+    assert seen[-1] == (8, 256) and got2.shape == (1, 128)
+
+
 def test_qdot_groupdot_packed_interpret(rng):
     """Packed-nibble scale-after-dot GEMV (round 3): unpack straight to
     bf16, no per-weight scale multiply — must match the dequant reference

@@ -175,6 +175,27 @@ def test_spec_warmup_then_generates(paths):
     assert got == want
 
 
+@pytest.mark.parametrize("p,k", [("1.0", 2), ("0.0", 7)])
+def test_spec_force_accept_harness(paths, monkeypatch, p, k):
+    """MIOTTS_SPEC_FORCE_ACCEPT (perf-only measurement override, VERDICT r4
+    item 1) replaces the acceptance test with Bernoulli(p): p=1 must accept
+    every draft (even though draft/target argmaxes disagree), p=0 none.
+
+    Distinct spec_tokens values per case force fresh jit traces — the env
+    override is read at trace time by design (static per bench process)."""
+    monkeypatch.setenv("MIOTTS_SPEC_FORCE_ACCEPT", p)
+    spec, _ = _engine(paths, draft="other", spec_tokens=k)
+    got = spec.generate_tokens("forced acceptance run",
+                               Options(max_tokens=24, temperature=0.8,
+                                       seed=3))
+    st = spec._spec_stats
+    assert st["drafted"] > 0 and 0 < len(got) <= 24
+    if p == "1.0":
+        assert st["accepted"] == st["drafted"]
+    else:
+        assert st["accepted"] == 0
+
+
 def test_spec_rejects_hybrid_models(paths, tmp_path):
     """Hybrid (LFM2) short-conv state cannot be rewound by the fill-based
     rollback, so the engine must refuse the pairing outright instead of
