@@ -31,4 +31,31 @@ run batch_128_qkv_r5 MIOTTS_BENCH_SLOTS=128 MIOTTS_BENCH_QKV=1 -- \
 run batch_128_bkern_qkv_r5 MIOTTS_BENCH_SLOTS=128 MIOTTS_BENCH_QKV=1 \
     MIOTTS_ATTN_BKERNEL=1 -- python benchmarks/bench_batch.py 128 96
 
+# Entries deferred from phase 1 (hand-.done sentinels) so the spec
+# end-to-end and attention measurements run first — this round's relay
+# compiles cost ~20 min/executable, so ordering is value-per-compile-hour
+# (VERDICT r4 priority).  Fresh entry names — the phase-1 names carry
+# "deferred-to-phase3" sentinels.
+run c26_r5c MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
+    python benchmarks/bench_compare.py
+run s26_512_full_r5c MIOTTS_BENCH_MODEL=2.6b-q4_k \
+    MIOTTS_BENCH_TOKENS=512 -- python bench.py
+run s26_512_win128_r5c MIOTTS_BENCH_MODEL=2.6b-q4_k \
+    MIOTTS_BENCH_TOKENS=512 MIOTTS_STREAM_WINDOW=128 -- python bench.py
+for H in 32 96 160 224 288; do
+  run hb${H}_r5c MIOTTS_BENCH_MODEL=0.1b-q8_0 \
+      MIOTTS_BENCH_TOKENS=512 MIOTTS_HOLDBACK=$H -- \
+      python benchmarks/bench_compare.py
+done
+
+# CRITICAL last entries: warm the DRIVER's end-of-round bench executables
+# at final defaults — llm.py changed this round, so the flagship's
+# 64-slot serving programs and the 0.1B single-stream programs would
+# otherwise compile cold inside the driver's ~3600 s window (today's
+# relay compiles run ~20 min/program).  These also record our own
+# flagship/single numbers for RESULTS.md.
+run batch_64_warm_r5 MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
+    python benchmarks/bench_batch.py 64 96
+run single_0.1b_warm_r5 MIOTTS_BENCH_MODEL=0.1b-q8_0 -- python bench.py
+
 echo "phase3 done -> $OUT"

@@ -1195,7 +1195,7 @@ def _spec_probs(logits: jax.Array, temperature: jax.Array) -> jax.Array:
 
 def spec_accept(key: jax.Array, draft_tokens: jax.Array,
                 target_logits: jax.Array, draft_logits: jax.Array,
-                temperature: jax.Array):
+                temperature: jax.Array, force_p: jax.Array | None = None):
     """Speculative-sampling acceptance rule (Leviathan et al. 2023 /
     Chen et al. 2023), exact w.r.t. the target sampling distribution.
 
@@ -1220,17 +1220,18 @@ def spec_accept(key: jax.Array, draft_tokens: jax.Array,
     ratio = p_t[idx, draft_tokens] / jnp.maximum(p_d[idx, draft_tokens],
                                                  1e-30)
     # PERF-HARNESS OVERRIDE (measurement only, VERDICT r4 item 1): with
-    # MIOTTS_SPEC_FORCE_ACCEPT=p set, the accept test becomes a seeded
-    # Bernoulli(p) draw INDEPENDENT of the logits, so the full streaming
-    # engine can be timed at a controlled acceptance rate on synthetic
-    # weights (whose real draft/target agreement is ~0 by construction).
-    # Output tokens are then NOT target-distributed — never set outside a
-    # bench.  Trace-time static: read once per jit trace.
-    force_p = os.environ.get("MIOTTS_SPEC_FORCE_ACCEPT", "")
-    if force_p:
-        accept = u < jnp.float32(float(force_p))
-    else:
-        accept = u < ratio                                   # min(1,.) implicit
+    # MIOTTS_SPEC_FORCE_ACCEPT=p set (read by the ENGINE, passed down as
+    # the runtime scalar `force_p`; NaN = disabled), the accept test
+    # becomes a seeded Bernoulli(p) draw INDEPENDENT of the logits, so
+    # the full streaming engine can be timed at a controlled acceptance
+    # rate on synthetic weights (whose real draft/target agreement is ~0
+    # by construction).  Output tokens are then NOT target-distributed —
+    # never set outside a bench.  A runtime argument (not a baked
+    # constant) so every p shares ONE compiled executable — remote
+    # compiles cost tens of minutes on this relay.
+    accept = u < ratio                                       # min(1,.) implicit
+    if force_p is not None:
+        accept = jnp.where(jnp.isnan(force_p), accept, u < force_p)
     n_accept = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))
     j = jnp.minimum(n_accept, k - 1)
     residual = jnp.maximum(p_t[j] - p_d[j], 0.0)
@@ -1249,7 +1250,8 @@ def llm_generate_chunk_spec(params: dict, dparams: dict, pending: jax.Array,
                             cache: dict, dcache: dict, key: jax.Array,
                             temperature: jax.Array, stop_ids: jax.Array,
                             cfg: LLMConfig, dcfg: LLMConfig,
-                            n_steps: int, k_spec: int):
+                            n_steps: int, k_spec: int,
+                            force_p: jax.Array | None = None):
     """Generate >= n_steps tokens on device with draft-model speculation.
 
     `pending` [1] i32: the newest sampled-but-not-yet-processed token (the
@@ -1320,7 +1322,8 @@ def llm_generate_chunk_spec(params: dict, dparams: dict, pending: jax.Array,
         t_logits = t_logits[0]                               # [K+1, V]
 
         key, sub = jax.random.split(key)
-        a, nxt = spec_accept(sub, d_toks, t_logits, d_logits, temperature)
+        a, nxt = spec_accept(sub, d_toks, t_logits, d_logits, temperature,
+                             force_p)
 
         # --- round outputs: d_1..d_a then the corrective/bonus token,
         # truncated at the first stop token (which itself is not emitted,

@@ -20,6 +20,7 @@ fields — while replacing its architecture:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -654,7 +655,8 @@ class TTSEngine:
                     out = llm_generate_chunk_spec(
                         self.llm_params, self.draft_params, pending, cache,
                         dcache, jax.random.PRNGKey(0), jnp.float32(1.0),
-                        stop_ids, cfg, dcfg, chunk, K)
+                        stop_ids, cfg, dcfg, chunk, K,
+                        force_p=self._spec_force_p())
                     out[0].block_until_ready()
                     pending, cache, dcache = out[3], out[4], out[5]
                     _mark(f"spec chunk={chunk} (k={K})")
@@ -892,6 +894,17 @@ class TTSEngine:
         self._cache = cache
         return generated
 
+    @staticmethod
+    def _spec_force_p():
+        """Runtime scalar for the spec forced-acceptance perf harness
+        (MIOTTS_SPEC_FORCE_ACCEPT; NaN = disabled).  Passed as a traced
+        ARGUMENT so every p value — and the real path — shares one
+        compiled spec executable (remote compiles cost tens of minutes
+        on this relay)."""
+        import jax.numpy as jnp
+        v = os.environ.get("MIOTTS_SPEC_FORCE_ACCEPT", "")
+        return jnp.float32(float(v) if v else float("nan"))
+
     def _spec_loop(self, toks, n, last, cache, key, temp_arr, stop_ids,
                    chunk, max_tok, s_cache, on_token, profile) -> list[int]:
         """Draft-speculated generation loop (`llm_generate_chunk_spec`).
@@ -934,7 +947,8 @@ class TTSEngine:
             (buf, cnt, done, pending, cache, dcache, key, rounds,
              accepted) = llm_generate_chunk_spec(
                 self.llm_params, self.draft_params, pending, cache, dcache,
-                key, temp_arr, stop_ids, self.llm_cfg, dcfg, chunk, K)
+                key, temp_arr, stop_ids, self.llm_cfg, dcfg, chunk, K,
+                force_p=self._spec_force_p())
             buf = np.asarray(buf)
             cnt = int(cnt)
             if profile:

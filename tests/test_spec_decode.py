@@ -181,8 +181,9 @@ def test_spec_force_accept_harness(paths, monkeypatch, p, k):
     item 1) replaces the acceptance test with Bernoulli(p): p=1 must accept
     every draft (even though draft/target argmaxes disagree), p=0 none.
 
-    Distinct spec_tokens values per case force fresh jit traces — the env
-    override is read at trace time by design (static per bench process)."""
+    The override rides a runtime scalar (engine._spec_force_p -> NaN when
+    unset), so all p values and the real path share ONE compiled spec
+    executable (remote compiles cost tens of minutes on the relay)."""
     monkeypatch.setenv("MIOTTS_SPEC_FORCE_ACCEPT", p)
     spec, _ = _engine(paths, draft="other", spec_tokens=k)
     got = spec.generate_tokens("forced acceptance run",
