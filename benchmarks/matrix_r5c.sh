@@ -11,7 +11,23 @@ mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export MIOTTS_BENCH_MODEL=2.6b-q4_k
 
+TMO=${TMO:-5400}
 . benchmarks/run_matrix_lib.sh
+
+# 0) spec e2e follow-up (from the phase-2 measurement: the spec engine's
+#    ~3 ms/token wrapper floor is partly the SYNCHRONOUS per-emit codec
+#    decode+transfer — the pipelined-codec machinery defers audio
+#    materialization one check interval so the codec overlaps the next
+#    spec chunk; zero new executables beyond the pipe variant itself)
+run spec_e2e_2.6b_p0.9_dp2 MIOTTS_BENCH_MODEL=2.6b-q4_k \
+    MIOTTS_BENCH_DRAFT=0.1b-q8_0 MIOTTS_SPEC_K=6 \
+    MIOTTS_SPEC_FORCE_ACCEPT=0.9 -- python bench.py
+run spec_e2e_2.6b_p0.9_pipe MIOTTS_BENCH_MODEL=2.6b-q4_k \
+    MIOTTS_BENCH_DRAFT=0.1b-q8_0 MIOTTS_SPEC_K=6 \
+    MIOTTS_SPEC_FORCE_ACCEPT=0.9 MIOTTS_BENCH_PIPE=1 -- python bench.py
+run spec_e2e_2.6b_p0.7_pipe MIOTTS_BENCH_MODEL=2.6b-q4_k \
+    MIOTTS_BENCH_DRAFT=0.1b-q8_0 MIOTTS_SPEC_K=6 \
+    MIOTTS_SPEC_FORCE_ACCEPT=0.7 MIOTTS_BENCH_PIPE=1 -- python bench.py
 
 # 96 slots: base, int8-KV (healthy re-judge), best attention lever
 run batch_96_base_r5 MIOTTS_BENCH_SLOTS=96 -- \
@@ -57,5 +73,12 @@ done
 run batch_64_warm_r5 MIOTTS_BENCH_MODEL=2.6b-q4_k -- \
     python benchmarks/bench_batch.py 64 96
 run single_0.1b_warm_r5 MIOTTS_BENCH_MODEL=0.1b-q8_0 -- python bench.py
+
+# 1.2B ladder retry (attempt 8): by now the caches from attempt 7 are
+# hot AND stable (no further llm.py edits this round), so the entry
+# completes in minutes.  Attempt 6 measured healthy steady-state passes
+# (0.48 s/stream ~ 10.7x) before the timeout killed its p50 probes.
+TMO=5400 run single_1.2b_retry_r5 MIOTTS_BENCH_MODEL=1.2b-q6_k -- \
+    python bench.py
 
 echo "phase3 done -> $OUT"
