@@ -305,6 +305,10 @@ def main() -> int:
     from miotts_tpu.runtime.engine import EngineConfig, Options, TTSEngine, VoiceModel
     from miotts_tpu.runtime.profile import StreamProfile
 
+    def tri(name):
+        v = os.environ.get(name)
+        return None if v is None or v == "" else v == "1"
+
     t0 = time.perf_counter()
     engine = TTSEngine(EngineConfig(
         model_path=llm_path, codec_path=codec_path,
@@ -312,6 +316,10 @@ def main() -> int:
         quantized_kv=bool(os.environ.get("MIOTTS_BENCH_QKV")),
         draft_model_path=draft_path,
         spec_tokens=int(os.environ.get("MIOTTS_SPEC_K", "6")),
+        # pipelined codec for the UNFUSED single-stream path (the spec
+        # path runs unfused; its measured ~3 ms/token wrapper floor is
+        # partly the synchronous per-emit codec decode+transfer)
+        pipeline_codec=tri("MIOTTS_BENCH_PIPE"),
         stream_window_codes=int(os.environ.get("MIOTTS_STREAM_WINDOW", "0"))))
     voice = VoiceModel(emb_path)
     log(f"bench: models loaded in {time.perf_counter() - t0:.1f}s")

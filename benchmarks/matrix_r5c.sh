@@ -29,23 +29,25 @@ run spec_e2e_2.6b_p0.7_pipe MIOTTS_BENCH_MODEL=2.6b-q4_k \
     MIOTTS_BENCH_DRAFT=0.1b-q8_0 MIOTTS_SPEC_K=6 \
     MIOTTS_SPEC_FORCE_ACCEPT=0.7 MIOTTS_BENCH_PIPE=1 -- python bench.py
 
-# 96 slots: base, int8-KV (healthy re-judge), best attention lever
+# Serving A/Bs, configs chosen from the measured attn_128 attribution
+# (xla_int8 cache-only 2.51 ms/step vs bf16 4.19; int8+concat serve path
+# pathological at 6.34 but int8+NOCAT 4.06 — beats bf16 serve's 4.75):
+# int8-KV + no-concat softmax is the candidate; bf16+nocat measured
+# WORSE (5.62) and is skipped.
 run batch_96_base_r5 MIOTTS_BENCH_SLOTS=96 -- \
     python benchmarks/bench_batch.py 96 96
 run batch_96_qkv_r5 MIOTTS_BENCH_SLOTS=96 MIOTTS_BENCH_QKV=1 -- \
     python benchmarks/bench_batch.py 96 96
-run batch_96_bkern_qkv_r5 MIOTTS_BENCH_SLOTS=96 MIOTTS_BENCH_QKV=1 \
-    MIOTTS_ATTN_BKERNEL=1 -- python benchmarks/bench_batch.py 96 96
-run batch_96_nocat_r5 MIOTTS_BENCH_SLOTS=96 MIOTTS_ATTN_NOCAT=1 -- \
-    python benchmarks/bench_batch.py 96 96
+run batch_96_qkv_nocat_r5 MIOTTS_BENCH_SLOTS=96 MIOTTS_BENCH_QKV=1 \
+    MIOTTS_ATTN_NOCAT=1 -- python benchmarks/bench_batch.py 96 96
 
 # 128 slots: the per-stream >=1x target shape
 run batch_128_base_r5 MIOTTS_BENCH_SLOTS=128 -- \
     python benchmarks/bench_batch.py 128 96
 run batch_128_qkv_r5 MIOTTS_BENCH_SLOTS=128 MIOTTS_BENCH_QKV=1 -- \
     python benchmarks/bench_batch.py 128 96
-run batch_128_bkern_qkv_r5 MIOTTS_BENCH_SLOTS=128 MIOTTS_BENCH_QKV=1 \
-    MIOTTS_ATTN_BKERNEL=1 -- python benchmarks/bench_batch.py 128 96
+run batch_128_qkv_nocat_r5 MIOTTS_BENCH_SLOTS=128 MIOTTS_BENCH_QKV=1 \
+    MIOTTS_ATTN_NOCAT=1 -- python benchmarks/bench_batch.py 128 96
 
 # Entries deferred from phase 1 (hand-.done sentinels) so the spec
 # end-to-end and attention measurements run first — this round's relay

@@ -290,7 +290,16 @@ def decode_attention_batched(q, k_cache, v_cache, fill, q_pos,
     rep = H // H_kv
     assert B % b_tile == 0, (B, b_tile)
     int8_mxu = k_cache.dtype == jnp.int8
+    # Bound VMEM: the k+v blocks are b_tile*H_kv*s_tile*D*bytes each and
+    # Pallas double-buffers them across grid cells; B=128 bf16 at
+    # s_tile=256 measured 16.38M vs the 16M scoped limit (matrix_r5
+    # attn_128 log).  Keep the double-buffered k+v footprint under ~8 MB
+    # by halving s_tile (the flash accumulation is tile-count-agnostic).
+    bytes_el = 1 if int8_mxu else (2 if k_cache.dtype == jnp.bfloat16 else 4)
     s_tile = S if S <= 512 else 512
+    while (s_tile > 128
+           and 2 * 2 * b_tile * H_kv * s_tile * D * bytes_el > 8 * 2 ** 20):
+        s_tile //= 2
     assert S % s_tile == 0
     n_s = S // s_tile
     n_b = B // b_tile

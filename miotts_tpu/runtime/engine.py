@@ -941,14 +941,36 @@ class TTSEngine:
             return generated
 
         K = max(1, self.config.spec_tokens)
-        stopped = False
-        while n_gen < max_tok and not stopped:
-            t1 = time.perf_counter()
-            (buf, cnt, done, pending, cache, dcache, key, rounds,
-             accepted) = llm_generate_chunk_spec(
+        force_p = self._spec_force_p()
+
+        def dispatch(pending, cache, dcache, key):
+            return llm_generate_chunk_spec(
                 self.llm_params, self.draft_params, pending, cache, dcache,
                 key, temp_arr, stop_ids, self.llm_cfg, dcfg, chunk, K,
-                force_p=self._spec_force_p())
+                force_p=force_p)
+
+        # Depth-2 dispatch pipeline (round 5): chunk k+1 is dispatched with
+        # chunk k's LAZY output state (pending/caches/key stay on device)
+        # BEFORE chunk k's token buffer is fetched, so the host fetch, the
+        # token callbacks and the per-emit codec work all overlap chunk
+        # k+1's device execution — the same latency-hiding the fused plain
+        # step gets from stream_pipeline_depth.  The spec e2e measurement
+        # (matrix_r5 spec_e2e_*) attributed ~3 ms/token to exactly this
+        # serialized host glue.  One chunk may be over-dispatched at
+        # stream end; its tokens are discarded and the donated caches are
+        # only ever reused as reset buffers, so the waste is bounded by
+        # one chunk's device time.
+        stopped = False
+        fut = dispatch(pending, cache, dcache, key)
+        while True:
+            t1 = time.perf_counter()
+            (buf, cnt, done, pending, cache, dcache, key, rounds,
+             accepted) = fut
+            # over-dispatch the next chunk unless the budget is certainly
+            # exhausted (buf carries at most chunk + K tokens per call)
+            fut = None
+            if n_gen + chunk + K < max_tok:
+                fut = dispatch(pending, cache, dcache, key)
             buf = np.asarray(buf)
             cnt = int(cnt)
             if profile:
@@ -965,9 +987,17 @@ class TTSEngine:
                 if profile:
                     profile.llm_tokens = n_gen
                 if on_token is not None and not on_token(tid, n_gen):
-                    self._cache = cache
-                    self._dcache = dcache
-                    return generated
+                    stopped = True
+                    break
+            if stopped or n_gen >= max_tok:
+                if fut is not None:
+                    # consume the in-flight chunk's state: the previous
+                    # cache/dcache handles were DONATED to it and must not
+                    # be stored or read again
+                    pending, cache, dcache, key = fut[3], fut[4], fut[5], fut[6]
+                break
+            if fut is None:
+                fut = dispatch(pending, cache, dcache, key)
         self._cache = cache
         self._dcache = dcache
         return generated
